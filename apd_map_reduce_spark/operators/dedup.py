@@ -1,0 +1,390 @@
+"""Deduplication operators for training-data pipelines (driver mandate;
+extends the reference's distinct-set aggregation A1/A2, SURVEY.md §2.4,
+to document-level near-dup semantics).
+
+All hashing is md5-based (both engines expose md5) so every operator has
+a bitwise-identical DuckDB oracle. Hash60(s) = first 15 hex chars of
+md5(s) as a 60-bit signed-safe bigint.
+
+Scale design (the part that matters at 100 TB):
+  * exact dedup — hash-groupBy, one shuffle on the 128-bit digest; no
+    skew (uniform key space).
+  * n-gram Jaccard — all-pairs via shingle-inverted-index join. O(n²)
+    worst case by shared shingle; the MinHash path below is the scale
+    path, this is the exact verifier.
+  * MinHash+LSH — k=16 signature via ONE pass (16 min-aggregates over
+    the exploded shingles — no shingle×seed row blowup), banded b=4/r=4,
+    candidates from per-band equality joins (shuffle keyed by band
+    hash), verified with exact Jaccard. This is the V-SMART-Join shape
+    from PAPERS.md: candidate generation never materializes the n²
+    cross product.
+  * SimHash — 60-bit signature via 60 conditional-sum aggregates (no
+    per-bit row explosion); near-dup pairs via 4-chunk banding, which is
+    EXACT for hamming ≤ 3 by pigeonhole (4 chunks, ≤3 differing bits →
+    at least one chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 3
+
+
+# --- shared building blocks ------------------------------------------------
+
+def hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 → bigint (60 bits, always positive)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def normalized_tokens(text_col: str = "text") -> Column:
+    """Reference P1+P2 normalization lifted to arrays (functions/text.py)."""
+    return F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\\s+"),
+            lambda t: F.lower(F.regexp_replace(t, "[^A-Za-z]", "")),
+        ),
+        lambda w: w != "",
+    )
+
+
+_TOKENS_SQL = (
+    "list_filter(list_transform(string_split_regex(text, '\\s+'), "
+    "t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '')"
+)
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined); empty when < n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM idx
+)
+"""
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc distinct shingles."""
+    return (
+        docs.select("doc_id", F.explode(word_shingles(normalized_tokens())).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Content-hash dedup groups: canonical doc = min doc_id per digest."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- n-gram Jaccard (exact all-pairs over shared shingles) -------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    sh = doc_shingles(docs).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """k=16 MinHash signature in ONE aggregation pass over shingles."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"h{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Banded-LSH candidates, verified with exact Jaccard.
+
+    Result = pairs that (a) collide in ≥1 of 4 bands of the 16-wide
+    signature and (b) have true shingle-Jaccard ≥ threshold.
+    """
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = None
+    for band in range(LSH_BANDS):
+        cols = [f"h{band * rows_per_band + j}" for j in range(rows_per_band)]
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("band_hash"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b", "jaccard")
+    return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = N_MINHASH // LSH_BANDS
+    sig_aggs = ",\n    ".join(
+        f"MIN({_hash60_sql(repr(f'{seed}:') + ' || shingle')}) AS h{seed}"
+        for seed in range(N_MINHASH)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, md5({expr}) AS band_hash FROM sig".format(
+            band=band,
+            expr=" || ',' || ".join(
+                f"h{band * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT c.doc_a, c.doc_b, e.jaccard
+FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+"""
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc: token-frequency-weighted bit majority.
+
+    One groupBy(doc) with 60 conditional sums — no bit-level explosion.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(normalized_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", hash60(F.col("token")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_oracle_signature_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(cnt * (((h >> {i}) & 1) * 2 - 1)) AS b{i}" for i in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+tc AS (
+  SELECT doc_id, token, COUNT(*) AS cnt, {_hash60_sql('token')} AS h
+  FROM tok GROUP BY doc_id, token
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, {sim_expr} AS simhash FROM bits
+"""
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banded join: 4 chunks of 15 bits; hamming ≤ 3 guarantees ≥1 equal
+    chunk (pigeonhole), so the banded candidate set is EXACT — same
+    result as the O(n²) scan, but the join is keyed (shuffle, no cross
+    product)."""
+    sig = simhash_signatures(docs)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = None
+    for c in range(SIMHASH_CHUNKS):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        chunks = part if chunks is None else chunks.unionAll(part)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    # Oracle uses the O(n²) formulation — same result set (banding is
+    # exact for hamming ≤ 3), simpler SQL.
+    return f"""
+WITH sig AS ({_simhash_oracle_signature_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+DEDUP_QUERIES = [
+    QueryDef("dedup_exact", lambda s, d: dedup_exact(_docs(s, d)), DEDUP_EXACT_ORACLE),
+    QueryDef(
+        "dedup_ngram_jaccard",
+        lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        NGRAM_JACCARD_ORACLE,
+        headline=True,
+    ),
+    QueryDef(
+        "dedup_minhash_lsh",
+        lambda s, d: minhash_lsh_pairs(_docs(s, d)),
+        _minhash_oracle(),
+        headline=True,
+    ),
+    QueryDef(
+        "simhash_signatures",
+        lambda s, d: simhash_signatures(_docs(s, d)),
+        _simhash_oracle_signature_sql(),
+    ),
+    QueryDef(
+        "simhash_near_dups",
+        lambda s, d: simhash_near_dups(_docs(s, d)),
+        _simhash_pairs_oracle(),
+    ),
+]

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (driver mandate).
+
+Two paths, matching the 100 TB guidance:
+  * brute-force cosine top-k — the correctness baseline. Query set is
+    broadcast; the corpus side streams through one scan; per-query
+    top-k is a window row_number (no global collect). O(|Q| x N) work,
+    embarrassingly parallel — right answer when |Q| is small.
+  * random-hyperplane LSH buckets — the scale path: 8 deterministic
+    md5-derived hyperplanes → 8-bit bucket; candidates restricted to
+    the query's bucket (expected N/256 per probe), then exact cosine +
+    top-k within the bucket. Planes are literal constants, so the
+    DuckDB oracle embeds the same planes — full value parity.
+
+Determinism: dot products fold left-to-right over double-cast arrays in
+both engines; cosine is rounded to 6 decimals BEFORE ranking so ulp-level
+engine differences can't flip an ordering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def _dvec(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(_dvec("q_emb"), _dvec("c_emb"))
+                / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cos_sim
+  FROM q JOIN c ON neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    in SQL as literals (no RNG dependency in either engine)."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(round((h / float(1 << 60)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(emb_col: str) -> Column:
+    """8-bit LSH bucket id: bit p = sign(dot(plane_p, emb))."""
+    planes = _planes()
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        bit = F.when(_dot(plane, _dvec(emb_col)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket."""
+    with_bucket = embeddings.withColumn("bucket", _bucket_expr("embedding"))
+    queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(_dvec("q_emb"), _dvec("c_emb"))
+                / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+def _lsh_oracle() -> str:
+    planes = _planes()
+    plane_literals = ", ".join(
+        "[" + ", ".join(f"{v!r}" for v in row) + "]" for row in planes
+    )
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(planes[{p + 1}], emb) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH plane_t AS (SELECT [{plane_literals}]::DOUBLE[][] AS planes),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {bucket_sql} AS bucket
+  FROM embeddings, plane_t
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, bucket AS c_bucket FROM b),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cos_sim
+  FROM q JOIN c ON c_bucket = q_bucket AND neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= 3
+"""
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+SIMILARITY_QUERIES = [
+    QueryDef("ann_cosine_topk", lambda s, d: cosine_topk(_emb(s, d)), COSINE_TOPK_ORACLE, headline=True),
+    QueryDef("ann_lsh_topk", lambda s, d: lsh_ann_topk(_emb(s, d)), _lsh_oracle()),
+]

@@ -1,0 +1,205 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, fingerprinting (driver mandate; the
+reference's text surface stops at tokenize+normalize, SURVEY.md §2.2 —
+these extend it with the same JVM-side, UDF-free discipline).
+
+Scale: every operator here is a narrow per-row projection — no shuffle,
+no UDF, whole-stage codegen end-to-end. At 100 TB these run at scan
+speed and column-prune to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and oracle-expressible; accuracy is secondary to having
+# a scalable language-ID shape (real pipelines swap in fastText etc.).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "las", "una", "es"],
+}
+
+_WORD_RE = "[A-Za-z]+"
+
+
+def _marker_count(text_col: str, words: list[str]) -> F.Column:
+    """Count marker-word occurrences via one word-boundary regex."""
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.col(text_col), F.lit(pattern))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token/char counts — integer-exact features.
+
+    n_tokens = whitespace tokens; n_words = alphabetic runs (a BPE-ish
+    pre-tokenization proxy); plus punctuation/digit counts.
+    """
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_tokens"),
+        F.regexp_count("text", F.lit(_WORD_RE)).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")).alias("n_punct"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score (all arithmetic on
+    integer-exact counts → deterministic doubles cross-engine)."""
+    s = token_stats(docs)
+    stop = docs.select(
+        "doc_id", _marker_count("text", LANG_MARKERS["en"]).alias("n_stopwords")
+    )
+    joined = s.join(stop, "doc_id")
+    n_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
+    n_chars = F.greatest(F.col("n_chars"), F.lit(1))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_punct").cast("double") / n_chars).alias("punct_ratio"),
+        (F.col("n_digits").cast("double") / n_chars).alias("digit_ratio"),
+        (F.col("n_stopwords").cast("double") / n_tokens).alias("stopword_ratio"),
+        (F.col("n_words").cast("double") / n_tokens).alias("alpha_token_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-lexicon language guess; ties broken by language code ASC
+    (deterministic). Emits the guess and the winning marker count."""
+    scored = docs.select(
+        "doc_id",
+        *[
+            _marker_count("text", ws).alias(f"score_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    # argmax by (score DESC, lang ASC): array_sort ascending on
+    # (score, -lang_rank) structs, take the last element — max score,
+    # and among score ties the alphabetically-first language.
+    langs = sorted(LANG_MARKERS)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{la}").alias("score"),
+                F.lit(-rank).alias("neg_rank"),
+                F.lit(la).alias("lang"),
+            )
+            for rank, la in enumerate(langs)
+        ]
+    )
+    best = F.element_at(F.array_sort(pairs), -1)
+    return scored.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 over the normalized token
+    stream (lowercase alpha tokens joined by single spaces) — robust to
+    case/punctuation/whitespace changes, byte-stable across engines."""
+    normalized = F.array_join(
+        F.filter(
+            F.transform(
+                F.split(F.col("text"), "\\s+"),
+                lambda t: F.lower(F.regexp_replace(t, "[^A-Za-z]", "")),
+            ),
+            lambda w: w != "",
+        ),
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("norm_len"),
+    )
+
+
+# --- QueryDefs + oracles -----------------------------------------------
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+FROM documents
+"""
+
+_EN_PAT = r"(?i)\b(the|and|of|is|a)\b"
+
+QUALITY_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{_EN_PAT}')) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars,
+       CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+       CAST(n_digits AS DOUBLE) / GREATEST(n_chars, 1) AS digit_ratio,
+       CAST(n_stopwords AS DOUBLE) / GREATEST(n_tokens, 1) AS stopword_ratio,
+       CAST(n_words AS DOUBLE) / GREATEST(n_tokens, 1) AS alpha_token_ratio
+FROM s
+"""
+
+_LANG_SCORE_SQL = ",\n".join(
+    "len(regexp_extract_all(text, '(?i)\\b(" + "|".join(ws) + ")\\b')) AS score_" + la
+    for la, ws in LANG_MARKERS.items()
+)
+
+_LANG_CASE = """
+CASE GREATEST(score_en, score_fr, score_de, score_es)
+  WHEN score_de THEN 'de' WHEN score_en THEN 'en'
+  WHEN score_es THEN 'es' WHEN score_fr THEN 'fr' END
+"""
+# NOTE: CASE x WHEN picks the FIRST matching branch, so listing branches
+# in lang-code ASC order implements the (score DESC, lang ASC) tie-break.
+
+LANG_ID_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_LANG_SCORE_SQL} FROM documents)
+SELECT doc_id,
+       {_LANG_CASE} AS pred_lang,
+       GREATEST(score_en, score_fr, score_de, score_es) AS marker_hits
+FROM s
+"""
+
+FINGERPRINT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(
+             list_transform(string_split_regex(text, '\\s+'),
+                            t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
+             w -> w <> ''),
+           ' ') AS n
+  FROM documents
+)
+SELECT doc_id, md5(n) AS fingerprint, length(n) AS norm_len FROM norm
+"""
+
+TEXTSTATS_QUERIES = [
+    QueryDef("text_token_stats", lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_ORACLE),
+    QueryDef("text_quality_score", lambda s, d: quality_score(_docs(s, d)), QUALITY_ORACLE),
+    QueryDef("text_lang_id", lambda s, d: lang_id(_docs(s, d)), LANG_ID_ORACLE, headline=True),
+    QueryDef("text_fingerprint", lambda s, d: doc_fingerprint(_docs(s, d)), FINGERPRINT_ORACLE),
+]

@@ -1,0 +1,41 @@
+"""Central query registry — the driver contract surface.
+
+`__spark_entry__.py` re-exports from here. Every QueryDef with an
+oracle participates in the DuckDB hash-parity gate; oracle-less entries
+(sketches, streaming) get the rows-only check.
+"""
+
+from __future__ import annotations
+
+from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
+from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
+from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
+from apd_map_reduce_spark.operators.textstats import TEXTSTATS_QUERIES
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.corpus import CORPUS_QUERIES
+from apd_map_reduce_spark.queries.relational import RELATIONAL_QUERIES
+
+ALL_QUERIES: list[QueryDef] = (
+    CORPUS_QUERIES
+    + RELATIONAL_QUERIES
+    + TEXTSTATS_QUERIES
+    + DEDUP_QUERIES
+    + SIMILARITY_QUERIES
+    + MULTIMODAL_QUERIES
+)
+
+QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
+
+assert len(QUERY_INDEX) == len(ALL_QUERIES), "duplicate query names"
+
+
+def queries():
+    return {q.name: q.fn for q in ALL_QUERIES}
+
+
+def oracle_sql():
+    return {q.name: q.oracle for q in ALL_QUERIES if q.oracle is not None}
+
+
+def headline_queries():
+    return [q for q in ALL_QUERIES if q.headline]

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet TIMESTAMP(NANOS) columns (e.g. events.ts) as raw
+        # nanos longs; sources/tables.py converts to µs timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.ansi.enabled", "false")
         # 100 TB posture: bound scan task size so a partition fits in
         # executor memory regardless of input file layout.

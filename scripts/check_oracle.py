@@ -1,0 +1,116 @@
+"""Driver-style correctness gate, runnable locally.
+
+For every registry query: run the Spark DataFrame AND the DuckDB oracle
+on the same sf dir, then compare row count, column names, and
+order-insensitive values (exact — the driver hashes values, so a 1-ulp
+float drift is a FAIL; near-miss diagnostics are printed to debug).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from apd_map_reduce_spark.registry import ALL_QUERIES  # noqa: E402
+from apd_map_reduce_spark.session import get_spark  # noqa: E402
+from apd_map_reduce_spark.sources.tables import TABLES  # noqa: E402
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(f"schema: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"rowcount: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+    s = canonical(spark_df)
+    o = canonical(oracle_df)
+    for col in s.columns:
+        sv, ov = s[col], o[col]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv = sv.astype("float64")
+            ov = ov.astype("float64")
+            both_nan = sv.isna() & ov.isna()
+            eq = (sv == ov) | both_nan
+            if not eq.all():
+                diffs = (sv - ov).abs()
+                problems.append(
+                    f"col {col}: {int((~eq).sum())}/{len(eq)} mismatched, max|Δ|={diffs.max():.3e}"
+                )
+        else:
+            sv = sv.astype(object).where(~sv.isna(), None)
+            ov = ov.astype(object).where(~ov.isna(), None)
+            eq = sv.map(str) == ov.map(str)
+            na_eq = pd.isna(s[col]) & pd.isna(o[col])
+            eq = eq | na_eq
+            if not eq.all():
+                idx = eq[~eq].index[:3]
+                examples = [(s[col][i], o[col][i]) for i in idx]
+                problems.append(f"col {col}: {int((~eq).sum())}/{len(eq)} mismatched, e.g. {examples}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_fail = 0
+    for q in ALL_QUERIES:
+        if only and q.name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = q.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {q.name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if q.oracle is None:
+            print(f"ok?   {q.name}: rows-only check, {len(spark_pdf)} rows ({t_spark:.1f}s)")
+            if len(spark_pdf) == 0:
+                print(f"      WARNING: zero rows from {q.name}")
+            continue
+        t0 = time.time()
+        try:
+            oracle_pdf = con.execute(q.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {q.name}: oracle error: {exc}")
+            n_fail += 1
+            continue
+        t_oracle = time.time() - t0
+        problems = compare(q.name, spark_pdf, oracle_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {q.name} ({t_spark:.1f}s spark / {t_oracle:.1f}s duckdb)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            note = " (0 rows!)" if len(spark_pdf) == 0 else ""
+            print(f"PASS  {q.name}: {len(spark_pdf)} rows{note} ({t_spark:.1f}s spark / {t_oracle:.1f}s duckdb)")
+    print(f"\n{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
