@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -92,9 +93,13 @@ sh AS (
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) with per-doc distinct shingles."""
+    """(doc_id, shingle) with per-doc distinct shingles.
+
+    spread() first: shingling is the CPU-bound stage and must not be
+    serialized by a small scan (plans/layout.py)."""
     return (
-        docs.select("doc_id", F.explode(word_shingles(normalized_tokens())).alias("shingle"))
+        spread(docs)
+        .select("doc_id", F.explode(word_shingles(normalized_tokens())).alias("shingle"))
         .distinct()
     )
 
@@ -165,9 +170,9 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_
 
 # --- MinHash + LSH ------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """k=16 MinHash signature in ONE aggregation pass over shingles."""
-    sh = doc_shingles(docs)
+    sh = sh if sh is not None else doc_shingles(docs)
     aggs = [
         F.min(hash60(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"h{seed}")
         for seed in range(N_MINHASH)
@@ -181,7 +186,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     Result = pairs that (a) collide in ≥1 of 4 bands of the 16-wide
     signature and (b) have true shingle-Jaccard ≥ threshold.
     """
-    sig = minhash_signatures(docs)
+    # One materialization of the shingle relation feeds signature
+    # generation AND candidate verification.
+    sh = doc_shingles(docs).cache()
+    sig = minhash_signatures(docs, sh=sh)
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = None
     for band in range(LSH_BANDS):
@@ -204,8 +212,33 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b", "jaccard")
-    return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # Verify ONLY the candidates (the whole point of LSH): intersect the
+    # two shingle sets per candidate pair — never the all-pairs join.
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def _minhash_oracle() -> str:
@@ -265,7 +298,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     One groupBy(doc) with 60 conditional sums — no bit-level explosion.
     """
     tok = (
-        docs.select("doc_id", F.explode(normalized_tokens()).alias("token"))
+        spread(docs)
+        .select("doc_id", F.explode(normalized_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", hash60(F.col("token")))

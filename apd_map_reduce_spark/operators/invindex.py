@@ -46,7 +46,9 @@ def words(corpus: DataFrame, id_col: str = "file_id", text_col: str = "line") ->
     explode() after the array-level normalize keeps the per-token work
     inside whole-stage codegen and prunes empties before the shuffle.
     """
-    return corpus.select(
+    from apd_map_reduce_spark.plans.layout import spread
+
+    return spread(corpus).select(
         F.explode(tokenize_normalized(text_col)).alias("word"),
         F.col(id_col).alias("file_id"),
     )
