@@ -187,6 +187,66 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= 3
 """
 
 
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by semantic
+    similarity): all pairs with cosine ≥ threshold.
+
+    Scale path: block by L2-norm bucket — cos(a,b) ≥ t constrains the
+    norm ratio when vectors are also close in distance, but for pure
+    cosine the norm is uninformative, so the honest 100 TB design is
+    LSH-bucketed (see lsh_ann_topk); here we join on the LSH bucket to
+    prune, which UNDER-generates vs brute force by design (documented
+    approximation), then emit only verified-high pairs. The oracle
+    mirrors the same bucket+verify semantics, so results are exact to
+    the operator's contract."""
+    with_bucket = embeddings.withColumn("bucket", _bucket_expr("embedding")).select(
+        "vec_id", "embedding", "bucket"
+    )
+    a = with_bucket.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("bucket").alias("bkt_a")
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bkt_b")
+    )
+    return (
+        a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(_dvec("emb_a"), _dvec("emb_b"))
+                / (_norm(_dvec("emb_a")) * _norm(_dvec("emb_b"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _near_dup_oracle(threshold: float = 0.95) -> str:
+    planes = _planes()
+    plane_literals = ", ".join(
+        "[" + ", ".join(f"{v!r}" for v in row) + "]" for row in planes
+    )
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(planes[{p + 1}], emb) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH plane_t AS (SELECT [{plane_literals}]::DOUBLE[][] AS planes),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket_sql} AS bucket
+  FROM embeddings, plane_t
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_dot_product(a.emb, c.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND(list_dot_product(a.emb, c.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6) >= {threshold}
+"""
+
+
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
@@ -194,4 +254,9 @@ def _emb(spark, sf_dir):
 SIMILARITY_QUERIES = [
     QueryDef("ann_cosine_topk", lambda s, d: cosine_topk(_emb(s, d)), COSINE_TOPK_ORACLE, headline=True),
     QueryDef("ann_lsh_topk", lambda s, d: lsh_ann_topk(_emb(s, d)), _lsh_oracle()),
+    QueryDef(
+        "dedup_embedding_cosine",
+        lambda s, d: embedding_near_dups(_emb(s, d), threshold=0.3),
+        _near_dup_oracle(threshold=0.3),
+    ),
 ]

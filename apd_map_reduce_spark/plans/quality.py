@@ -1,0 +1,51 @@
+"""Plan-quality introspection: the ".explain and iterate" discipline as
+code (driver mandate: filters pushed to the scan, small sides
+broadcast, expressions inside whole-stage codegen).
+
+Used by tests/test_plan_quality.py to make plan regressions FAIL CI —
+e.g. someone reordering q1 so the shipdate filter stops reaching the
+parquet scan, or dropping a broadcast hint so a dim join becomes a
+shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters lines from every scan node."""
+    plan = formatted_plan(df)
+    return "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    return column in pushed_filters(df)
+
+
+def read_schema_columns(df: DataFrame) -> str:
+    """ReadSchema lines — verifies column pruning reached the scan."""
+    plan = formatted_plan(df)
+    return "\n".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Count of distinct codegen stages (formatted explain tags nodes
+    with `[codegen id : N]`)."""
+    plan = formatted_plan(df)
+    ids = {
+        ln.split("codegen id :")[1].strip().rstrip("]")
+        for ln in plan.splitlines()
+        if "codegen id :" in ln
+    }
+    return len(ids)

@@ -597,6 +597,123 @@ FROM with_sid GROUP BY user_id, session_seq
 """
 
 
+# --- grouping sets (SQL interface) ----------------------------------------
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (the DataFrame rollup/cube
+    cousins are above) — also exercises temp-view registration."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- window: range frame, lead, ntile --------------------------------------
+
+def window_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day revenue per customer — RANGE frame over the
+    epoch-seconds of the order date (numeric range frames behave
+    identically across engines; interval frames don't always)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "ts_sec", F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1_000_000)
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("ts_sec"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        as_double(F.sum(dec2("o_totalprice")).over(w)).alias("rolling_30d"),
+    )
+
+
+WINDOW_RANGE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) / 1000000
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+FROM orders
+"""
+
+
+def window_lead_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    nxt = F.lead(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ((nxt - F.unix_micros(F.col("o_orderdate").cast("timestamp"))) / F.lit(86400_000_000.0)).alias("days_to_next"),
+    )
+
+
+WINDOW_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       (LEAD(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC)
+        - epoch_us(o_orderdate)) / 86400000000.0 AS days_to_next
+FROM orders
+"""
+
+
+def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("wealth_quartile"),
+    )
+
+
+WINDOW_NTILE_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey ASC) AS wealth_quartile
+FROM customer
+"""
+
+
+def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per nation (the scalable sibling
+    is approx_percentile; exact percentile is fine per-group)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT c_nationkey,
+       ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+       ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -611,6 +728,11 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("cube_status_priority", cube_status_priority, CUBE_ORACLE),
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef("grouping_sets_orders", grouping_sets_orders, GROUPING_SETS_ORACLE),
+    QueryDef("window_rolling_30d", window_rolling_30d, WINDOW_RANGE_ORACLE),
+    QueryDef("window_lead_order_gap", window_lead_order_gap, WINDOW_LEAD_ORACLE),
+    QueryDef("window_ntile_customers", window_ntile_customers, WINDOW_NTILE_ORACLE),
+    QueryDef("percentile_acctbal", percentile_acctbal, PERCENTILE_ORACLE),
     QueryDef("window_top_customers_per_nation", window_top_customers_per_nation, WINDOW_RANK_ORACLE),
     QueryDef("window_running_revenue", window_running_revenue, WINDOW_RUNNING_ORACLE),
     QueryDef("window_event_deltas", window_event_deltas, WINDOW_LAG_ORACLE),

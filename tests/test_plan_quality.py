@@ -1,0 +1,80 @@
+"""Physical-plan regression gates: pushdown, pruning, broadcast,
+whole-stage codegen (the 100 TB hygiene the driver grades)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.plans.quality import (
+    has_pushed_filter,
+    read_schema_columns,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+from apd_map_reduce_spark.queries.relational import (
+    q1_pricing_summary,
+    q3_top_orders,
+    q6_forecast_revenue,
+)
+from apd_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    assert has_pushed_filter(df, "l_shipdate"), "shipdate filter must reach the scan"
+    cols = read_schema_columns(df)
+    assert "l_orderkey" not in cols, "unused columns must be pruned from the scan"
+    # AQE wraps the plan before execution and hides codegen ids; check
+    # codegen on the statically-planned variant.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert wholestage_codegen_spans(q1_pricing_summary(spark, SF_SMOKE)) > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q6_multiple_pushed_filters(spark):
+    df = q6_forecast_revenue(spark, SF_SMOKE)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), f"{col} filter must reach the scan"
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    df = q3_top_orders(spark, SF_SMOKE)
+    assert uses_broadcast_join(df), "filtered customer dim must broadcast"
+
+
+def test_projection_prunes_scan(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert "l_orderkey" in cols and "l_quantity" in cols
+    assert "l_extendedprice" not in cols and "l_comment" not in cols
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from apd_map_reduce_spark import sinks
+    from apd_map_reduce_spark.sources.files import read_csv, read_parquet
+
+    df = load_table(spark, SF_SMOKE, "region")
+    pq = str(tmp_path / "pq")
+    sinks.write_parquet(df, pq, partition_by=["r_regionkey"])
+    back = read_parquet(spark, pq)
+    assert sorted((r.r_regionkey, r.r_name) for r in back.collect()) == sorted(
+        (r.r_regionkey, r.r_name) for r in df.collect()
+    )
+
+    csv = str(tmp_path / "csv")
+    sinks.write_csv(df, csv, single_file=True)
+    back_csv = read_csv(spark, csv, "r_regionkey INT, r_name STRING")
+    assert back_csv.count() == df.count()
+
+
+def test_binary_file_source(spark, tmp_path, small_corpus_dir):
+    from apd_map_reduce_spark.sources.files import read_binary_files
+
+    df = read_binary_files(spark, small_corpus_dir, glob="file*.txt")
+    rows = df.select("path", F.length("content").alias("n")).collect()
+    assert len(rows) == 3
+    assert all(r.n > 0 for r in rows)
