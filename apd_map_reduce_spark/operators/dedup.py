@@ -96,11 +96,12 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) with per-doc distinct shingles.
 
     spread() first: shingling is the CPU-bound stage and must not be
-    serialized by a small scan (plans/layout.py)."""
-    return (
-        spread(docs)
-        .select("doc_id", F.explode(word_shingles(normalized_tokens())).alias("shingle"))
-        .distinct()
+    serialized by a small scan (plans/layout.py). Dedup happens at the
+    ARRAY level (array_distinct) — per-doc distinctness needs no global
+    shuffle, unlike explode().distinct()."""
+    return spread(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(normalized_tokens()))).alias("shingle"),
     )
 
 

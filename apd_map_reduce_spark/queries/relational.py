@@ -597,6 +597,30 @@ FROM with_sid GROUP BY user_id, session_seq
 """
 
 
+# --- pivot ------------------------------------------------------------------
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — wide-format counts (oracle = conditional
+    aggregation; DuckDB's PIVOT syntax differs but semantics match)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .na.fill(0, ["n_f", "n_o", "n_p"])
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- grouping sets (SQL interface) ----------------------------------------
 
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +752,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("cube_status_priority", cube_status_priority, CUBE_ORACLE),
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef("pivot_status_by_priority", pivot_status_by_priority, PIVOT_ORACLE),
     QueryDef("grouping_sets_orders", grouping_sets_orders, GROUPING_SETS_ORACLE),
     QueryDef("window_rolling_30d", window_rolling_30d, WINDOW_RANGE_ORACLE),
     QueryDef("window_lead_order_gap", window_lead_order_gap, WINDOW_LEAD_ORACLE),
