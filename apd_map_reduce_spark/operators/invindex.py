@@ -46,9 +46,11 @@ def words(corpus: DataFrame, id_col: str = "file_id", text_col: str = "line") ->
     explode() after the array-level normalize keeps the per-token work
     inside whole-stage codegen and prunes empties before the shuffle.
     """
-    from apd_map_reduce_spark.plans.layout import spread
-
-    return spread(corpus).select(
+    # No spread() here: tokenize+partial-agg is cheap enough that the
+    # extra round-robin shuffle costs more than it buys (A/B at sf0.1:
+    # 0.35s direct vs 0.45s spread). Shingling (dedup.py) differs — its
+    # per-row cost is ~10x and spread wins there.
+    return corpus.select(
         F.explode(tokenize_normalized(text_col)).alias("word"),
         F.col(id_col).alias("file_id"),
     )

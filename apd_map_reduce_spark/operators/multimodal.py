@@ -79,10 +79,106 @@ FROM documents
 """
 
 
+THUMB_GRID = 4
+FRAME_COUNT = 3
+
+THUMB_SCHEMA = "doc_id LONG, thumb ARRAY<INT>, n_bytes INT"
+FRAMES_SCHEMA = "doc_id LONG, frame_idx INT, frame_hash STRING, frame_len INT"
+
+
+def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake "resize": 4x4 grid of per-chunk byte sums mod
+    256 — stands in for a thumbnail; real path needs a codec
+    (decode_image raises NotImplementedError). Shows the array-column
+    output schema a real embedding/thumbnail stage produces."""
+    for pdf in batches:
+        thumbs = []
+        for b in pdf["payload"]:
+            n = max(len(b), 1)
+            cells = THUMB_GRID * THUMB_GRID
+            step = max(n // cells, 1)
+            thumbs.append(
+                [sum(b[i * step : (i + 1) * step]) % 256 for i in range(cells)]
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb": thumbs,
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+            }
+        )
+
+
+def _frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake "frame sampling": split payload into 3 equal
+    chunks ("frames"), hash each — the row-explosion shape (1 video →
+    N frames) a real decoder produces."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_hash": [], "frame_len": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(b)
+            step = max(n // FRAME_COUNT, 1)
+            for i in range(FRAME_COUNT):
+                chunk = b[i * step : (i + 1) * step] if i < FRAME_COUNT - 1 else b[(FRAME_COUNT - 1) * step :]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+                out["frame_len"].append(len(chunk))
+        yield pd.DataFrame(out)
+
+
+def multimodal_thumbnails(docs: DataFrame) -> DataFrame:
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary.mapInPandas(_resize_stub, THUMB_SCHEMA)
+
+
+def multimodal_frame_sample(docs: DataFrame) -> DataFrame:
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary.mapInPandas(_frame_sample_stub, FRAMES_SCHEMA)
+
+
+# Frame oracle: chunk boundaries + md5 over substrings are expressible
+# in SQL (ASCII-safe: the synthetic docs are ASCII so byte offsets ==
+# char offsets; a binary-substring oracle would need blob slicing).
+FRAMES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         greatest(octet_length(encode(text)) // {FRAME_COUNT}, 1) AS step
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {FRAME_COUNT - 1})) AS frame_idx,
+         n, step, text
+  FROM base
+)
+SELECT doc_id, frame_idx,
+       md5(CASE WHEN frame_idx < {FRAME_COUNT - 1}
+                THEN substr(text, frame_idx * step + 1, step)
+                ELSE substr(text, ({FRAME_COUNT - 1}) * step + 1) END) AS frame_hash,
+       length(CASE WHEN frame_idx < {FRAME_COUNT - 1}
+                THEN substr(text, frame_idx * step + 1, step)
+                ELSE substr(text, ({FRAME_COUNT - 1}) * step + 1) END) AS frame_len
+FROM frames
+"""
+
+
 MULTIMODAL_QUERIES = [
     QueryDef(
         "multimodal_metadata",
         lambda s, d: multimodal_metadata(load_table(s, d, "documents")),
         MULTIMODAL_ORACLE,
+    ),
+    QueryDef(
+        "multimodal_frame_sample",
+        lambda s, d: multimodal_frame_sample(load_table(s, d, "documents")),
+        FRAMES_ORACLE,
+    ),
+    # thumbnail emits an array column — no portable value-hash; driver
+    # records the rows-only check.
+    QueryDef(
+        "multimodal_thumbnails",
+        lambda s, d: multimodal_thumbnails(load_table(s, d, "documents")),
+        None,
     ),
 ]

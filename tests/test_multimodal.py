@@ -1,0 +1,70 @@
+"""Multimodal plumbing: python-model checks for the stubbed decode
+stages (the frame oracle covers frame_sample; thumbnails have an array
+column → no SQL oracle, so the model check lives here)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from apd_map_reduce_spark.operators.multimodal import (
+    FRAME_COUNT,
+    THUMB_GRID,
+    decode_image,
+    multimodal_frame_sample,
+    multimodal_thumbnails,
+)
+from apd_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def py_thumb(b: bytes) -> list[int]:
+    n = max(len(b), 1)
+    cells = THUMB_GRID * THUMB_GRID
+    step = max(n // cells, 1)
+    return [sum(b[i * step : (i + 1) * step]) % 256 for i in range(cells)]
+
+
+def test_thumbnails_match_python_model(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20).cache()
+    got = {r.doc_id: list(r.thumb) for r in multimodal_thumbnails(docs).collect()}
+    for r in docs.collect():
+        assert got[r.doc_id] == py_thumb(r.text.encode("utf-8")), f"doc {r.doc_id}"
+    assert all(len(t) == THUMB_GRID * THUMB_GRID for t in got.values())
+
+
+def test_frame_sample_shape_and_hashes(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5).cache()
+    frames = multimodal_frame_sample(docs).collect()
+    assert len(frames) == 5 * FRAME_COUNT
+    one = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for r in frames:
+        b = one[r.doc_id]
+        step = max(len(b) // FRAME_COUNT, 1)
+        chunk = (
+            b[r.frame_idx * step : (r.frame_idx + 1) * step]
+            if r.frame_idx < FRAME_COUNT - 1
+            else b[(FRAME_COUNT - 1) * step :]
+        )
+        assert r.frame_hash == hashlib.md5(chunk).hexdigest()
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_null_and_empty_text_tokens(spark):
+    """Null/empty text must yield zero tokens, not errors or null rows."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.operators.invindex import inverted_index
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "ok")],
+        "file_id INT, line STRING",
+    )
+    idx = {r.word: r.file_ids for r in inverted_index(corpus).collect()}
+    assert idx == {"ok": [4]}
