@@ -375,7 +375,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFr
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -388,9 +388,9 @@ def _simhash_pairs_oracle() -> str:
     return f"""
 WITH sig AS ({_simhash_oracle_signature_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= {HAMMING_MAX}
 """
 
 

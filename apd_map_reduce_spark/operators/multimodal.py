@@ -26,7 +26,7 @@ from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
 META_SCHEMA = (
-    "doc_id LONG, n_bytes INT, content_hash STRING, fake_width INT, fake_height INT"
+    "doc_id LONG, n_bytes LONG, content_hash STRING, fake_width LONG, fake_height LONG"
 )
 
 
@@ -54,10 +54,10 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int32"),
+                "n_bytes": n_bytes.astype("int64"),
                 "content_hash": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                "fake_width": (n_bytes % 640).astype("int32"),
-                "fake_height": ((n_bytes * 7) % 480).astype("int32"),
+                "fake_width": (n_bytes % 640).astype("int64"),
+                "fake_height": ((n_bytes * 7) % 480).astype("int64"),
             }
         )
 
@@ -82,8 +82,8 @@ FROM documents
 THUMB_GRID = 4
 FRAME_COUNT = 3
 
-THUMB_SCHEMA = "doc_id LONG, thumb ARRAY<INT>, n_bytes INT"
-FRAMES_SCHEMA = "doc_id LONG, frame_idx INT, frame_hash STRING, frame_len INT"
+THUMB_SCHEMA = "doc_id LONG, thumb ARRAY<INT>, n_bytes LONG"
+FRAMES_SCHEMA = "doc_id LONG, frame_idx LONG, frame_hash STRING, frame_len LONG"
 
 
 def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +104,7 @@ def _resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "thumb": thumbs,
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
             }
         )
 

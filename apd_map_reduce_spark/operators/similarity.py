@@ -70,7 +70,7 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "cos_sim")
     )
@@ -148,7 +148,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "cos_sim")
     )

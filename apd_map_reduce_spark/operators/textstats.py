@@ -41,13 +41,15 @@ def token_stats(docs: DataFrame) -> DataFrame:
     n_tokens = whitespace tokens; n_words = alphabetic runs (a BPE-ish
     pre-tokenization proxy); plus punctuation/digit counts.
     """
+    # All counts cast to long — DuckDB len()/length() are BIGINT and the
+    # driver compares schemas, not just values.
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_tokens"),
-        F.regexp_count("text", F.lit(_WORD_RE)).alias("n_words"),
-        F.length("text").alias("n_chars"),
-        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
-        F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")).alias("n_punct"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(_WORD_RE)).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("long").alias("n_digits"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")).cast("long").alias("n_punct"),
     )
 
 
@@ -100,7 +102,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scored.select(
         "doc_id",
         best["lang"].alias("pred_lang"),
-        best["score"].alias("marker_hits"),
+        best["score"].cast("long").alias("marker_hits"),
     )
 
 
@@ -121,7 +123,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
-        F.length(normalized).alias("norm_len"),
+        F.length(normalized).cast("long").alias("norm_len"),
     )
 
 

@@ -22,7 +22,8 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select(
         "word",
         F.array_join("file_ids", " ").alias("doc_ids"),
-        "df",
+        # long: DuckDB COUNT(DISTINCT) is BIGINT; keep schemas identical
+        F.col("df").cast("long").alias("df"),
     )
 
 

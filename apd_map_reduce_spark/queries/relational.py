@@ -393,7 +393,7 @@ def window_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        c.withColumn("rnk", F.row_number().over(w))
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
     )
@@ -537,7 +537,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
@@ -586,8 +586,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), with_sid AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -705,7 +705,7 @@ def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_mktsegment",
         "c_custkey",
-        F.ntile(4).over(w).alias("wealth_quartile"),
+        F.ntile(4).over(w).cast("long").alias("wealth_quartile"),
     )
 
 

@@ -42,6 +42,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     s = canonical(spark_df)
     o = canonical(oracle_df)
     for col in s.columns:
+        sd, od = str(s[col].dtype), str(o[col].dtype)
+        if sd != od:
+            problems.append(f"dtype {col}: spark={sd} oracle={od}")
+    for col in s.columns:
         sv, ov = s[col], o[col]
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = sv.astype("float64")
