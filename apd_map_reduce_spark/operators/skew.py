@@ -1,0 +1,65 @@
+"""Skew-mitigation operators (SURVEY.md §6.3: the reference's alphabet
+partitioning suffers 100x letter skew and load-balances poorly; at
+100 TB a single hot key stalls a straggler task).
+
+Two Spark-native answers:
+  * AQE skew-join splitting — already on in session.py (config, not code).
+  * Salted two-phase aggregation — for aggregations whose key histogram
+    is so skewed that even AQE's post-shuffle splitting leaves one
+    reducer hot. Works for any MERGEABLE aggregate; exposed here for
+    count/sum shapes.
+
+`salted_agg` is semantically identical to `df.groupBy(key).agg(...)` —
+the property test in tests/test_skew.py asserts exact equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    aggs: output_name -> (input_col, fn) with fn in {count, sum, min, max}.
+    Phase 1 groups by (key, salt) — the hot key spreads over n_salts
+    reducers; phase 2 merges the n_salts partials per key (tiny).
+    """
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(f"__p_{out}"))
+            phase2_aggs.append(F.max(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+    salted = df.withColumn("__salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(*phase1_aggs)
+    return partial.groupBy(key).agg(*phase2_aggs)
+
+
+def top_keys_by_frequency(df: DataFrame, key: Column | str, k: int = 10) -> DataFrame:
+    """Skew diagnosis: the key histogram head (what you check before
+    choosing salting / AQE / broadcast)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(c.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+    )

@@ -597,6 +597,91 @@ FROM with_sid GROUP BY user_id, session_seq
 """
 
 
+# --- subquery shapes --------------------------------------------------------
+
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (balance above own nation's
+    average) as a window expression — Spark's idiomatic decorrelation."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
+ABOVE_AVG_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal, ROUND(nation_avg, 6) AS nation_avg
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+  FROM customer
+) WHERE c_acctbal > nation_avg
+"""
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax pattern: each customer's most recent order (row_number=1
+    with a deterministic tie-break) — the groupwise-max shape."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            "o_totalprice",
+        )
+    )
+
+
+LATEST_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS latest_date, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def disjunctive_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19-shaped disjunctive filter across join inputs (OR of
+    conjunctions mixing both sides) — exercises predicate handling that
+    can't fully push to either scan."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_type") == "SMALL") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_type") == "MEDIUM") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_type") == "LARGE") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return joined.filter(cond).agg(
+        money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+DISJUNCTIVE_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --- pivot ------------------------------------------------------------------
 
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +837,9 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("cube_status_priority", cube_status_priority, CUBE_ORACLE),
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef("customers_above_nation_avg", customers_above_nation_avg, ABOVE_AVG_ORACLE),
+    QueryDef("latest_order_per_customer", latest_order_per_customer, LATEST_ORDER_ORACLE),
+    QueryDef("disjunctive_join_parts", disjunctive_join_parts, DISJUNCTIVE_ORACLE),
     QueryDef("pivot_status_by_priority", pivot_status_by_priority, PIVOT_ORACLE),
     QueryDef("grouping_sets_orders", grouping_sets_orders, GROUPING_SETS_ORACLE),
     QueryDef("window_rolling_30d", window_rolling_30d, WINDOW_RANGE_ORACLE),

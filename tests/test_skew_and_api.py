@@ -1,0 +1,104 @@
+"""Skew operators + SQL facade."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.api import register_views, sql
+from apd_map_reduce_spark.operators.skew import salted_agg, top_keys_by_frequency
+from apd_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_agg_equals_direct(spark):
+    """Salted two-phase aggregation is semantically identical to the
+    direct groupBy — on a deliberately skewed dataset (90% one key)."""
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 97).cast("string"))
+        ).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    direct = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            "k",
+            {
+                "n": ("v", "count"),
+                "total": ("v", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == direct
+    assert direct["hot"][0] == 9000
+
+
+def test_top_keys_by_frequency(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    head = top_keys_by_frequency(events, "event_type", k=3).collect()
+    assert len(head) == 3
+    assert head[0].n >= head[1].n >= head[2].n
+
+
+def test_sql_facade(spark):
+    views = register_views(spark, SF_SMOKE)
+    assert "lineitem" in views and "documents" in views
+    df = sql(
+        spark,
+        SF_SMOKE,
+        """
+        SELECT r_name, COUNT(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """,
+    )
+    rows = {r.r_name: r.n for r in df.collect()}
+    assert sum(rows.values()) == load_table(spark, SF_SMOKE, "customer").count()
+
+
+def test_sliding_user_activity_stream(spark, tmp_path):
+    """Sliding-window streaming agg drains and produces overlapping
+    windows (2x rows of tumbling for 1h/30m)."""
+    import os
+    import shutil
+
+    from apd_map_reduce_spark.streaming.windows import (
+        events_stream_schema,
+        read_events_stream,
+        sliding_user_activity,
+    )
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), os.path.join(d, "events.parquet"))
+    stream = read_events_stream(spark, d, events_stream_schema(spark, os.path.join(d, "events.parquet")))
+    q = (
+        sliding_user_activity(stream)
+        .writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sliding").collect()
+    assert len(rows) > 0
+    assert all(r.approx_users > 0 and r.n_events > 0 for r in rows)
