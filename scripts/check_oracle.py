@@ -10,7 +10,6 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from pathlib import Path
