@@ -1,0 +1,51 @@
+"""Drop-in CLI mirroring the reference binary's interface
+(`./tema1 <M> <R> <manifest>`, `tema1a/src/main.cpp:179-186`):
+
+    python -m apd_map_reduce_spark <M> <R> <manifest> [--out DIR]
+
+M/R (mapper/reducer thread counts) map onto the Spark analogues: M+R
+bounds local cores, R sets shuffle partitions (SURVEY.md §3.1 maps
+mappers → scan/partial-agg stage, reducers → final-agg/sink stage).
+Output: `<letter>.txt` files in --out (default ./output), same format
+and ordering as the reference sink — a reference user can point their
+checker's diff at it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m apd_map_reduce_spark",
+        description="Inverted-index pipeline, reference-compatible CLI",
+    )
+    parser.add_argument("mappers", type=int, help="mapper parallelism (M)")
+    parser.add_argument("reducers", type=int, help="reducer parallelism (R)")
+    parser.add_argument("manifest", help="manifest file: first line N, then N paths")
+    parser.add_argument("--out", default="output", help="output dir for <letter>.txt files")
+    args = parser.parse_args(argv)
+    if args.mappers < 1 or args.reducers < 1:
+        parser.error("M and R must be >= 1")
+
+    from apd_map_reduce_spark.operators.invindex import ranked_index, write_letter_files
+    from apd_map_reduce_spark.session import get_spark
+    from apd_map_reduce_spark.sources.manifest import read_corpus, read_manifest
+
+    spark = get_spark(
+        app_name="apd-invindex-cli",
+        master=f"local[{args.mappers + args.reducers}]",
+        shuffle_partitions=max(args.reducers, 1),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    manifest = read_manifest(spark, args.manifest)
+    corpus = read_corpus(spark, manifest)
+    write_letter_files(ranked_index(corpus), args.out)
+    print(f"wrote 26 letter files to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

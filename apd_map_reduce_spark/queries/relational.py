@@ -802,6 +802,17 @@ FROM customer
 """
 
 
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles (KLL-style) — the 100 TB path where exact
+    per-group sort is too expensive. No oracle: sketch internals are
+    engine-specific (rows-only check), exact twin = percentile_acctbal."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
+    )
+
+
 def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per nation (the scalable sibling
     is approx_percentile; exact percentile is fine per-group)."""
@@ -846,6 +857,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("window_lead_order_gap", window_lead_order_gap, WINDOW_LEAD_ORACLE),
     QueryDef("window_ntile_customers", window_ntile_customers, WINDOW_NTILE_ORACLE),
     QueryDef("percentile_acctbal", percentile_acctbal, PERCENTILE_ORACLE),
+    QueryDef("approx_percentile_prices", approx_percentile_prices, None),
     QueryDef("window_top_customers_per_nation", window_top_customers_per_nation, WINDOW_RANK_ORACLE),
     QueryDef("window_running_revenue", window_running_revenue, WINDOW_RUNNING_ORACLE),
     QueryDef("window_event_deltas", window_event_deltas, WINDOW_LAG_ORACLE),

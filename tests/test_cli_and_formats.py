@@ -1,0 +1,94 @@
+"""Reference-compatible CLI + format-agnostic ingestion + failure modes."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.queries.relational import events_hourly
+from apd_map_reduce_spark.sources.files import read_json
+from apd_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+from .test_invindex import GOLDEN_SMALL
+
+
+def test_cli_matches_golden(small_corpus_dir, tmp_path):
+    """`python -m apd_map_reduce_spark 2 2 manifest` — the reference
+    binary's CLI shape — produces the golden letter files."""
+    out = str(tmp_path / "cli_out")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "apd_map_reduce_spark",
+            "2",
+            "2",
+            os.path.join(small_corpus_dir, "manifest.txt"),
+            "--out",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for ch, want in GOLDEN_SMALL.items():
+        with open(os.path.join(out, f"{ch}.txt")) as fh:
+            assert [ln.rstrip("\n") for ln in fh if ln.strip()] == want
+
+
+def test_cli_rejects_bad_args():
+    res = subprocess.run(
+        [sys.executable, "-m", "apd_map_reduce_spark", "0", "2", "nope.txt"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    assert res.returncode != 0
+    assert "M and R must be >= 1" in res.stderr
+
+
+def test_events_hourly_from_json_lines(spark, tmp_path, monkeypatch):
+    """The same query runs unchanged over a JSON-lines copy of events —
+    source format is orthogonal to query semantics."""
+    d = str(tmp_path / "events_json")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").json(d)
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    back = read_json(spark, d, schema)
+
+    import apd_map_reduce_spark.queries.relational as rel
+
+    monkeypatch.setattr(rel, "_t", lambda s, sf, name: back if name == "events" else load_table(s, sf, name))
+    from_json = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in rel.events_hourly(spark, SF_SMOKE).collect()
+    }
+    monkeypatch.undo()
+    from_parquet = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in events_hourly(spark, SF_SMOKE).collect()
+    }
+    assert from_json == from_parquet
+
+
+def test_missing_table_fails_cleanly(spark):
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf_nope", "orders").count()
