@@ -247,6 +247,130 @@ WHERE ROUND(list_dot_product(a.emb, c.emb)
 """
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroids() -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (md5-derived, same
+    trick as _planes) — an IVF list structure without a training pass.
+    Real systems k-means these; the *query path* (assign → probe
+    nprobe lists → exact rerank) is identical."""
+    cents = []
+    for c in range(N_CENTROIDS):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"centroid:{c}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(round((h / float(1 << 60)) * 2.0 - 1.0, 6))
+        cents.append(row)
+    return cents
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_ranking(emb_col: str) -> Column:
+    """Array of centroid ids ordered by ascending L2 distance (rounded,
+    id tie-break) — element 1 = assignment, first N_PROBE = probe set."""
+    cents = _centroids()
+    pairs = F.array(
+        *[
+            F.struct(
+                # round(sqrt(Σ(x-y)²), 6): same formula as DuckDB's
+                # list_distance, so the rounded keys are identical.
+                F.round(F.sqrt(_l2sq(F.array(*[F.lit(v) for v in row]), _dvec(emb_col))), 6).alias("d"),
+                F.lit(c).alias("cid"),
+            )
+            for c, row in enumerate(cents)
+        ]
+    )
+    return F.transform(F.array_sort(pairs), lambda s: s["cid"])
+
+
+def ivf_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid
+    list; each query probes its N_PROBE nearest lists and exact-reranks
+    within them. Multi-probe recovers recall that single-bucket LSH
+    loses at list boundaries.
+
+    Scale: the inverted lists are a partition layout (list id = shuffle
+    key); a query touches nprobe/N_CENTROIDS of the corpus."""
+    ranking = _centroid_ranking("embedding")
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at(ranking, 1).alias("list_id"),
+    )
+    queries = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.slice(ranking, 1, N_PROBE)).alias("probe_list"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("list_id") == F.col("probe_list"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(_dvec("q_emb"), _dvec("c_emb"))
+                / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
+def _ivf_oracle(k: int = 3) -> str:
+    cents = _centroids()
+    cent_literals = ", ".join("[" + ", ".join(f"{v!r}" for v in row) + "]" for row in cents)
+    dist_structs = ", ".join(
+        f"{{'d': ROUND(list_distance(cents[{c + 1}], emb), 6), 'cid': {c}}}"
+        for c in range(N_CENTROIDS)
+    )
+    return f"""
+WITH cent_t AS (SELECT [{cent_literals}]::DOUBLE[][] AS cents),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_transform(list_sort([{dist_structs}]), s -> s.cid) AS ranking
+  FROM embeddings, cent_t
+),
+c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, ranking[1] AS list_id FROM b),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, unnest(ranking[1:{N_PROBE}]) AS probe_list
+  FROM b WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cos_sim
+  FROM q JOIN c ON list_id = probe_list AND neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {k}
+"""
+
+
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
@@ -254,6 +378,7 @@ def _emb(spark, sf_dir):
 SIMILARITY_QUERIES = [
     QueryDef("ann_cosine_topk", lambda s, d: cosine_topk(_emb(s, d)), COSINE_TOPK_ORACLE, headline=True),
     QueryDef("ann_lsh_topk", lambda s, d: lsh_ann_topk(_emb(s, d)), _lsh_oracle()),
+    QueryDef("ann_ivf_topk", lambda s, d: ivf_ann_topk(_emb(s, d)), _ivf_oracle()),
     QueryDef(
         "dedup_embedding_cosine",
         lambda s, d: embedding_near_dups(_emb(s, d), threshold=0.3),

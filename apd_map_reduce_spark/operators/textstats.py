@@ -127,6 +127,100 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+WINNOW_K = 5  # char k-gram length
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash all char
+    k-grams of the normalized text, take the min hash of every sliding
+    window of w consecutive positions, dedup — a position-robust
+    fingerprint set whose density is ~2/(w+1) regardless of doc length.
+
+    Output: doc_id, n_fingerprints, fp_hash (md5 over the sorted set) —
+    docs sharing fp_hash are near-certain duplicates; Jaccard over the
+    sets gives graded similarity.
+    """
+    from pyspark.sql.window import Window
+
+    from apd_map_reduce_spark.operators.dedup import hash60
+
+    norm = F.array_join(
+        F.filter(
+            F.transform(
+                F.split(F.col("text"), "\\s+"),
+                lambda t: F.lower(F.regexp_replace(t, "[^A-Za-z]", "")),
+            ),
+            lambda w: w != "",
+        ),
+        " ",
+    )
+    base = docs.select("doc_id", norm.alias("t")).filter(
+        F.length("t") >= WINNOW_K + WINNOW_W - 1
+    )
+    grams = base.select(
+        "doc_id",
+        (F.length("t") - (WINNOW_K - 1)).alias("n_grams"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - (WINNOW_K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    hash60(F.substring(F.col("t"), i, WINNOW_K)).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_grams", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("pos"))
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    mins = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        # only full windows (standard winnowing)
+        .filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.array_join(F.sort_array(F.collect_set("wmin")), " ")).alias("fp_hash"),
+    )
+
+
+WINNOW_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(list_filter(list_transform(string_split_regex(text, '\\s+'),
+                t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> ''), ' ') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, length(t) - {WINNOW_K - 1} AS n_grams FROM norm
+         WHERE length(t) >= {WINNOW_K + WINNOW_W - 1}),
+grams AS (
+  SELECT doc_id, n_grams, unnest(generate_series(1, n_grams)) AS pos, t
+  FROM base
+),
+hashed AS (
+  SELECT doc_id, n_grams, pos,
+         ('0x' || substr(md5(substr(t, pos, {WINNOW_K})), 1, 15))::BIGINT AS h
+  FROM grams
+),
+mins AS (
+  SELECT DISTINCT doc_id, wmin FROM (
+    SELECT doc_id, pos, n_grams,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+    FROM hashed
+  ) WHERE pos <= n_grams - {WINNOW_W - 1}
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       md5(array_to_string(list_sort(list(DISTINCT wmin)), ' ')) AS fp_hash
+FROM mins GROUP BY doc_id
+"""
+
+
 # --- QueryDefs + oracles -----------------------------------------------
 
 def _docs(spark, sf_dir):
@@ -204,4 +298,5 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_quality_score", lambda s, d: quality_score(_docs(s, d)), QUALITY_ORACLE),
     QueryDef("text_lang_id", lambda s, d: lang_id(_docs(s, d)), LANG_ID_ORACLE, headline=True),
     QueryDef("text_fingerprint", lambda s, d: doc_fingerprint(_docs(s, d)), FINGERPRINT_ORACLE),
+    QueryDef("text_winnow_fingerprints", lambda s, d: winnow_fingerprints(_docs(s, d)), WINNOW_ORACLE),
 ]
