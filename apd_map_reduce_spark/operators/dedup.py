@@ -88,6 +88,10 @@ idx AS (
 sh AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
   FROM idx
+),
+shh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh
+  FROM sh
 )
 """
 
@@ -103,6 +107,21 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_shingles(normalized_tokens()))).alias("shingle"),
     )
+
+
+def doc_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) with sh = hash60 of each distinct shingle — the
+    join-optimized relation: all-pairs intersection joins compare 8-byte
+    longs instead of ~20-byte strings (shuffle volume and compare cost
+    both drop). Hashing is mirrored in the oracles, so semantics are
+    engine-identical even in the (negligible) collision case."""
+    hashed = F.array_distinct(
+        F.transform(
+            word_shingles(normalized_tokens()),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    return spread(docs).select("doc_id", F.explode(hashed).alias("sh"))
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -125,12 +144,15 @@ FROM documents GROUP BY md5(text)
 # --- n-gram Jaccard (exact all-pairs over shared shingles) -------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    sh = doc_shingles(docs).cache()
+    """Jaccard over per-doc distinct shingle HASHES (8-byte join keys;
+    hashing mirrored in the oracle, so any collision affects both
+    engines identically)."""
+    sh = doc_shingle_hashes(docs).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -154,10 +176,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,
@@ -172,10 +194,12 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_
 # --- MinHash + LSH ------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
-    """k=16 MinHash signature in ONE aggregation pass over shingles."""
-    sh = sh if sh is not None else doc_shingles(docs)
+    """k=16 MinHash signature in ONE aggregation pass over the hashed
+    shingle relation (seeded re-hash of the 60-bit shingle hash — an
+    equally uniform family, and the whole pipeline shares one scan)."""
+    sh = sh if sh is not None else doc_shingle_hashes(docs)
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"h{seed}")
+        F.min(hash60(F.concat(F.lit(f"{seed}:"), F.col("sh").cast("string")))).alias(f"h{seed}")
         for seed in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -187,9 +211,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     Result = pairs that (a) collide in ≥1 of 4 bands of the 16-wide
     signature and (b) have true shingle-Jaccard ≥ threshold.
     """
-    # One materialization of the shingle relation feeds signature
+    # One materialization of the hashed shingle relation feeds signature
     # generation AND candidate verification.
-    sh = doc_shingles(docs).cache()
+    sh = doc_shingle_hashes(docs).cache()
     sig = minhash_signatures(docs, sh=sh)
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = None
@@ -216,11 +240,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     # Verify ONLY the candidates (the whole point of LSH): intersect the
     # two shingle sets per candidate pair — never the all-pairs join.
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
         candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -245,7 +269,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
 def _minhash_oracle() -> str:
     rows_per_band = N_MINHASH // LSH_BANDS
     sig_aggs = ",\n    ".join(
-        f"MIN({_hash60_sql(repr(f'{seed}:') + ' || shingle')}) AS h{seed}"
+        f"MIN({_hash60_sql(repr(f'{seed}:') + ' || sh::VARCHAR')}) AS h{seed}"
         for seed in range(N_MINHASH)
     )
     band_selects = "\n  UNION ALL\n".join(
@@ -262,7 +286,7 @@ WITH {_SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
     {sig_aggs}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -272,10 +296,10 @@ candidates AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 exact AS (
