@@ -597,6 +597,92 @@ FROM with_sid GROUP BY user_id, session_seq
 """
 
 
+# --- q7: nation-pair trade volume (CASE + year extraction + multi-join) -----
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations by ship year.
+    Exercises year extraction, symmetric nation-pair predicate, and a
+    6-relation join with broadcast dims."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("ship_year"),
+        )
+        .agg(money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+# --- q16: part-supplier counts with NOT IN (null-safe anti semantics) -------
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) excluding
+    a brand and suppliers below an account-balance floor via NOT IN —
+    the anti-join-with-subquery pattern."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#11")
+    l = _t(spark, sf_dir, "lineitem")
+    bad_suppliers = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_suppliers), l.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
 # --- subquery shapes --------------------------------------------------------
 
 def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,6 +920,48 @@ GROUP BY c_nationkey
 """
 
 
+# --- events: range join (batch twin of streaming/joins.py) -----------------
+
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases matched to same-user clicks in the
+    preceding 30 minutes. Scale: equality key (user_id) carries the
+    shuffle; the range predicate filters within the hash bucket —
+    Spark's range-join shape without a cross product."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+CLICK_ATTRIBUTION_ORACLE = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -848,6 +976,8 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("cube_status_priority", cube_status_priority, CUBE_ORACLE),
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
+    QueryDef("q16_part_supplier_counts", q16_part_supplier_counts, Q16_ORACLE),
     QueryDef("customers_above_nation_avg", customers_above_nation_avg, ABOVE_AVG_ORACLE),
     QueryDef("latest_order_per_customer", latest_order_per_customer, LATEST_ORDER_ORACLE),
     QueryDef("disjunctive_join_parts", disjunctive_join_parts, DISJUNCTIVE_ORACLE),
@@ -866,4 +996,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_hourly", events_hourly, EVENTS_HOURLY_ORACLE, headline=True),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
     QueryDef("events_sessionize", events_sessionize, SESSIONIZE_ORACLE, headline=True),
+    QueryDef("events_click_attribution", events_click_attribution, CLICK_ATTRIBUTION_ORACLE),
 ]
