@@ -216,15 +216,29 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     sh = doc_shingle_hashes(docs).cache()
     sig = minhash_signatures(docs, sh=sh)
     rows_per_band = N_MINHASH // LSH_BANDS
-    bands = None
-    for band in range(LSH_BANDS):
-        cols = [f"h{band * rows_per_band + j}" for j in range(rows_per_band)]
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("band_hash"),
-        )
-        bands = b if bands is None else bands.unionAll(b)
+    # ONE pass over sig: explode an array of (band, band_hash) structs.
+    # A 4-way union would replicate the signature aggregation subtree
+    # per branch (and per join side) in the plan.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{band * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -378,15 +392,21 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFr
     sig = simhash_signatures(docs)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
-    chunks = None
-    for c in range(SIMHASH_CHUNKS):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        chunks = part if chunks is None else chunks.unionAll(part)
+    # Single explode instead of a 4-way union (see minhash_lsh_pairs).
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = sig.select("doc_id", "simhash", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.chunk_val").alias("chunk_val")
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
