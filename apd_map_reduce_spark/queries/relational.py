@@ -654,6 +654,31 @@ GROUP BY supp_nation, cust_nation, ship_year
 """
 
 
+# --- q2 shape: correlated-min subquery (cheapest part per type) -------------
+
+def q2_min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows matching their group's minimum (parts at
+    the minimum retail price within their type) — correlated scalar
+    subquery decorrelated to a window min."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+Q2_ORACLE = """
+SELECT p_type, p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = p.p_type)
+"""
+
+
 # --- q16: part-supplier counts with NOT IN (null-safe anti semantics) -------
 
 def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,6 +1001,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("cube_status_priority", cube_status_priority, CUBE_ORACLE),
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef("q2_min_cost_parts", q2_min_cost_parts, Q2_ORACLE),
     QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
     QueryDef("q16_part_supplier_counts", q16_part_supplier_counts, Q16_ORACLE),
     QueryDef("customers_above_nation_avg", customers_above_nation_avg, ABOVE_AVG_ORACLE),
