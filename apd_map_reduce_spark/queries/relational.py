@@ -481,6 +481,72 @@ SELECT 'customer_only' AS tag, nk FROM (
 """
 
 
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (INTERSECT ALL / EXCEPT ALL — duplicate-aware):
+    order-priority bags of the 'F' vs 'O' status populations."""
+    o = _t(spark, sf_dir, "orders")
+    f_bag = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o_bag = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    both = f_bag.intersectAll(o_bag).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("tag", F.lit("intersect_all"))
+    only_f = f_bag.exceptAll(o_bag).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("tag", F.lit("except_all"))
+    return both.unionAll(only_f).select("tag", "o_orderpriority", "n")
+
+
+SET_OPS_MULTISET_ORACLE = """
+SELECT 'intersect_all' AS tag, o_orderpriority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY o_orderpriority
+UNION ALL
+SELECT 'except_all' AS tag, o_orderpriority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY o_orderpriority
+"""
+
+
+def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: part-name pairs within edit
+    distance 2, BLOCKED on the shared noun (last word) — the standard
+    ER shape: blocking key join (no cross product) + expensive
+    similarity only within blocks."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.element_at(F.split("p_name", " "), -1).alias("block")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+ER_FUZZY_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS block FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1018,6 +1084,8 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("window_running_revenue", window_running_revenue, WINDOW_RUNNING_ORACLE),
     QueryDef("window_event_deltas", window_event_deltas, WINDOW_LAG_ORACLE),
     QueryDef("set_ops_nation_keys", set_ops_nation_keys, SET_OPS_ORACLE),
+    QueryDef("set_ops_multiset", set_ops_multiset, SET_OPS_MULTISET_ORACLE),
+    QueryDef("er_fuzzy_part_names", er_fuzzy_part_names, ER_FUZZY_ORACLE),
     QueryDef("topk_orders", topk_orders, TOPK_ORACLE),
     QueryDef("events_hourly", events_hourly, EVENTS_HOURLY_ORACLE, headline=True),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
