@@ -611,6 +611,70 @@ GROUP BY event_type
 """
 
 
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (width_bucket semantics spelled out
+    arithmetically — integer-deterministic in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9))
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket_lo", (F.col("price_bucket") * 50000.0))
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS price_bucket,
+       COUNT(*) AS n_orders,
+       LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) * 50000.0 AS bucket_lo
+FROM orders
+GROUP BY 1
+"""
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: a generated hourly spine
+    left-joined to the event counts, empty hours => 0. The spine is a
+    dimension built in the engine (sequence/generate_series), not data.
+
+    Scale: the spine is O(hours), tiny; the join broadcasts it."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-12-31 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    return (
+        spine.join(counts, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+GAPFILL_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-12-31 23:00:00',
+                                INTERVAL 1 HOUR)) AS h
+),
+counts AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(counts.n, 0) AS n_events
+FROM spine LEFT JOIN counts ON spine.h = counts.h
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) as pure window
     algebra — no stateful UDF needed in batch. Streaming twin:
@@ -1091,4 +1155,6 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
     QueryDef("events_sessionize", events_sessionize, SESSIONIZE_ORACLE, headline=True),
     QueryDef("events_click_attribution", events_click_attribution, CLICK_ATTRIBUTION_ORACLE),
+    QueryDef("histogram_order_prices", histogram_order_prices, HISTOGRAM_ORACLE),
+    QueryDef("events_hourly_gapfill", events_hourly_gapfill, GAPFILL_ORACLE),
 ]
