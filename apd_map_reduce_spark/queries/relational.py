@@ -1117,6 +1117,105 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+# --- events: funnel conversion ----------------------------------------------
+
+def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: per user, first signup → first subsequent purchase, with
+    conversion lag. Two min-aggregations + one join — no window scan of
+    the full event stream."""
+    e = _t(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return first_purchase.select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_at"),
+        F.date_format("first_purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("converted_at"),
+        ((F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")) / F.lit(86400_000_000.0)).alias("days_to_convert"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
+  FROM signups s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+)
+SELECT user_id,
+       strftime(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_at,
+       strftime(first_purchase_ts, '%Y-%m-%d %H:%M:%S') AS converted_at,
+       (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) / 86400000000.0 AS days_to_convert
+FROM fp
+"""
+
+
+# --- data-quality guardrails -------------------------------------------------
+
+def data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline guardrails as one relation of (check, n_bad): orphan
+    foreign keys, duplicate primary keys, null rates. A training-data
+    ingest would gate on n_bad == 0 before publishing a snapshot."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = _t(spark, sf_dir, "documents")
+
+    orphan_lineitems = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("orphan_lineitems").alias("check"), "n_bad")
+    )
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("orphan_orders").alias("check"), "n_bad")
+    )
+    dup_orderkeys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("duplicate_orderkeys").alias("check"), "n_bad")
+    )
+    null_texts = (
+        d.filter(F.col("text").isNull() | (F.length("text") == 0))
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("null_or_empty_documents").alias("check"), "n_bad")
+    )
+    return orphan_lineitems.unionAll(orphan_orders).unionAll(dup_orderkeys).unionAll(null_texts)
+
+
+DATA_QUALITY_ORACLE = """
+SELECT 'orphan_lineitems' AS check, COUNT(*) AS n_bad
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orphan_orders', COUNT(*)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'duplicate_orderkeys', COUNT(*)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'null_or_empty_documents', COUNT(*)
+FROM documents WHERE text IS NULL OR length(text) = 0
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -1157,4 +1256,6 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_click_attribution", events_click_attribution, CLICK_ATTRIBUTION_ORACLE),
     QueryDef("histogram_order_prices", histogram_order_prices, HISTOGRAM_ORACLE),
     QueryDef("events_hourly_gapfill", events_hourly_gapfill, GAPFILL_ORACLE),
+    QueryDef("events_signup_conversion", events_signup_conversion, FUNNEL_ORACLE),
+    QueryDef("data_quality_summary", data_quality_summary, DATA_QUALITY_ORACLE),
 ]
