@@ -280,7 +280,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
     rows_per_band = N_MINHASH // LSH_BANDS
     sig_aggs = ",\n    ".join(
         f"MIN({_hash60_sql(repr(f'{seed}:') + ' || sh::VARCHAR')}) AS h{seed}"
@@ -322,7 +322,7 @@ exact AS (
   FROM pairs
   JOIN cnt ca ON ca.doc_id = doc_a
   JOIN cnt cb ON cb.doc_id = doc_b
-  WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+  WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {threshold}
 )
 SELECT c.doc_a, c.doc_b, e.jaccard
 FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
+from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
 from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
 from apd_map_reduce_spark.operators.textstats import TEXTSTATS_QUERIES
 from apd_map_reduce_spark.queries.base import QueryDef
@@ -22,6 +23,7 @@ ALL_QUERIES: list[QueryDef] = (
     + DEDUP_QUERIES
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES
+    + PIPELINE_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}

@@ -1,0 +1,40 @@
+"""Clean-corpus pipeline: composition behavior + snapshot sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.operators.pipeline import (
+    clean_corpus,
+    materialize_clean_snapshot,
+)
+from apd_map_reduce_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_clean_corpus_drops_planted_duplicates(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    # plant an exact duplicate (id 9001 copies doc 0's text) and a
+    # doctored near-duplicate is implicit in synthetic data overlap
+    first_text = docs.filter(F.col("doc_id") == 0).select("text").first().text
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(9001, first_text, "en", "srcX", len(first_text))],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+    )
+    keep = {r.doc_id for r in clean_corpus(planted).collect()}
+    assert 9001 not in keep, "exact duplicate must drop (higher id)"
+    assert 0 in keep, "canonical copy (min id) must survive"
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "snap")
+    n = materialize_clean_snapshot(docs, out)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert set(back.columns) == set(docs.columns)
+    keep = {r.doc_id for r in clean_corpus(docs).select("doc_id").collect()}
+    assert {r.doc_id for r in back.select("doc_id").collect()} == keep
