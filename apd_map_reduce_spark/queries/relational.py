@@ -1117,6 +1117,80 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+# --- array aggregation -------------------------------------------------------
+
+def agg_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per customer, the sorted distinct set
+    of order priorities (emitted as a joined string for portable
+    hashing — same trick as the inverted index)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+PRIORITY_SETS_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- statistical moments (deterministic via exact decimal sums) --------------
+
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + stddev from EXACT decimal sums, with the
+    final formula in double — order-independent, so it hash-matches
+    across engines (built-in corr()/stddev() stream doubles and drift
+    in the last ulp)."""
+    l = _t(spark, sf_dir, "lineitem")
+    x = dec2("l_extendedprice")
+    y = dec2("l_quantity")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(x)).alias("sx"),
+        as_double(F.sum(y)).alias("sy"),
+        as_double(F.sum(x * y)).alias("sxy"),
+        as_double(F.sum(x * x)).alias("sxx"),
+        as_double(F.sum(y * y)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(vx), 6).alias("stddev_price"),
+        F.round(F.sqrt(vy), 6).alias("stddev_qty"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_price_qty"),
+    )
+
+
+STATS_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS stddev_price,
+       ROUND(sqrt(syy / n - (sy / n) * (sy / n)), 6) AS stddev_qty,
+       ROUND((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))), 6) AS corr_price_qty
+FROM a
+"""
+
+
 # --- events: funnel conversion ----------------------------------------------
 
 def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,4 +1332,6 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_hourly_gapfill", events_hourly_gapfill, GAPFILL_ORACLE),
     QueryDef("events_signup_conversion", events_signup_conversion, FUNNEL_ORACLE),
     QueryDef("data_quality_summary", data_quality_summary, DATA_QUALITY_ORACLE),
+    QueryDef("agg_priority_sets", agg_priority_sets, PRIORITY_SETS_ORACLE),
+    QueryDef("stats_price_quantity", stats_price_quantity, STATS_ORACLE),
 ]
