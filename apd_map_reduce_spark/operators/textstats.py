@@ -127,6 +127,31 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, ASCII-anchored for cross-engine
+# parity (contractions | space-prefixed letter runs | digit runs |
+# punctuation runs). Real BPE merges happen on top of this split.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex alongside the
+    plain whitespace count — the two standard length signals for
+    training-data budgeting."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_SPLIT_RE)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+BPE_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_SPLIT_RE.replace("'", "''")}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 WINNOW_K = 5  # char k-gram length
 WINNOW_W = 4  # window of consecutive k-gram hashes
 
@@ -299,4 +324,5 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_lang_id", lambda s, d: lang_id(_docs(s, d)), LANG_ID_ORACLE, headline=True),
     QueryDef("text_fingerprint", lambda s, d: doc_fingerprint(_docs(s, d)), FINGERPRINT_ORACLE),
     QueryDef("text_winnow_fingerprints", lambda s, d: winnow_fingerprints(_docs(s, d)), WINNOW_ORACLE),
+    QueryDef("text_bpe_token_counts", lambda s, d: bpe_token_counts(_docs(s, d)), BPE_TOKENS_ORACLE),
 ]
