@@ -7,6 +7,10 @@ oracle participates in the DuckDB hash-parity gate; oracle-less entries
 
 from __future__ import annotations
 
+from apd_map_reduce_spark.operators.behavior import (
+    BEHAVIOR_ORACLE,
+    user_behavior_features,
+)
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
@@ -15,6 +19,15 @@ from apd_map_reduce_spark.operators.textstats import TEXTSTATS_QUERIES
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.queries.corpus import CORPUS_QUERIES
 from apd_map_reduce_spark.queries.relational import RELATIONAL_QUERIES
+from apd_map_reduce_spark.sources.tables import load_table
+
+BEHAVIOR_QUERIES = [
+    QueryDef(
+        "user_behavior_features",
+        lambda s, d: user_behavior_features(load_table(s, d, "events")),
+        BEHAVIOR_ORACLE,
+    ),
+]
 
 ALL_QUERIES: list[QueryDef] = (
     CORPUS_QUERIES
@@ -24,6 +37,7 @@ ALL_QUERIES: list[QueryDef] = (
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES
     + PIPELINE_QUERIES
+    + BEHAVIOR_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
