@@ -47,6 +47,75 @@ def user_behavior_features(events: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_pandas(docs: DataFrame) -> DataFrame:
+    """Scalar @pandas_udf flavor: the reference P1/P2 normalization
+    re-implemented vectorized in pandas, fingerprinted like
+    textstats.doc_fingerprint. Dogfooding: its oracle is the SAME SQL
+    as the JVM-expression fingerprint, so the Python and JVM
+    normalization paths are proven equivalent by the gate."""
+    import re
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(text: pd.Series) -> pd.Series:
+        def norm_one(t: str) -> str:
+            toks = re.split(r"\s+", t)
+            cleaned = [re.sub("[^A-Za-z]", "", x).lower() for x in toks]
+            return " ".join(w for w in cleaned if w)
+
+        return text.map(norm_one)
+
+    normalized = _norm(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).cast("long").alias("norm_len"),
+    )
+
+
+def segment_weighted_avg(orders: DataFrame, customers: DataFrame) -> DataFrame:
+    """Grouped-agg @pandas_udf flavor: exact-cents weighted statistic
+    per market segment (weights = order count per customer is implicit;
+    here: plain mean of totals via integer cents so pandas float
+    summation order can't drift from the oracle)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _mean_cents(v: pd.Series) -> float:
+        cents = (v * 100).round().astype("int64")
+        return float(int(cents.sum())) / 100.0 / len(cents)
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg() — the count is a second pandas UDF.
+    @pandas_udf("long")
+    def _count(v: pd.Series) -> int:
+        return len(v)
+
+    joined = orders.join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(_mean_cents("o_totalprice"), 6).alias("avg_totalprice"),
+        _count("o_totalprice").alias("n_orders"),
+    )
+
+
+SEGMENT_AVG_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / COUNT(*), 6) AS avg_totalprice,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 BEHAVIOR_ORACLE = """
 WITH g AS (
   SELECT user_id,

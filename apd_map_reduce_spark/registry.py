@@ -9,8 +9,12 @@ from __future__ import annotations
 
 from apd_map_reduce_spark.operators.behavior import (
     BEHAVIOR_ORACLE,
+    SEGMENT_AVG_ORACLE,
+    fingerprint_pandas,
+    segment_weighted_avg,
     user_behavior_features,
 )
+from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
@@ -26,6 +30,20 @@ BEHAVIOR_QUERIES = [
         "user_behavior_features",
         lambda s, d: user_behavior_features(load_table(s, d, "events")),
         BEHAVIOR_ORACLE,
+    ),
+    # Same oracle as text_fingerprint: proves the scalar-pandas and
+    # JVM-expression normalization paths are semantically identical.
+    QueryDef(
+        "text_fingerprint_pandas_udf",
+        lambda s, d: fingerprint_pandas(load_table(s, d, "documents")),
+        FINGERPRINT_ORACLE,
+    ),
+    QueryDef(
+        "segment_avg_pandas_udf",
+        lambda s, d: segment_weighted_avg(
+            load_table(s, d, "orders"), load_table(s, d, "customer")
+        ),
+        SEGMENT_AVG_ORACLE,
     ),
 ]
 
