@@ -1,0 +1,80 @@
+"""Connected components over the duplicate-pair graph — the iterative
+refinement of the clean-corpus pipeline (transitive duplicate groups:
+if A~B and B~C, all three form one group even when A~C wasn't found).
+
+Label propagation: every doc starts with label=doc_id; each round a
+doc takes the min label among itself and its neighbors; fixpoint in at
+most diameter rounds. Driver-side loop over DataFrames (the standard
+Spark shape for iterative algorithms — Pregel-style supersteps); each
+iteration is one shuffle-bounded join+agg, convergence checked with a
+cheap count. No SQL twin — iterative; registered rows-only per the
+driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """pairs(doc_a, doc_b) undirected → DataFrame[doc_id, component]
+    where component = min doc_id reachable. Only docs appearing in
+    pairs are returned (isolated docs are their own components
+    trivially)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Transitive duplicate groups from exact + MinHash near-dup pairs:
+    DataFrame[doc_id, component, group_size]."""
+    from apd_map_reduce_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+
+    exact_pairs = (
+        dedup_exact(docs)
+        .filter(F.col("n_copies") > 1)
+        .join(docs.select("doc_id", F.md5("text").alias("content_hash")), "content_hash")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(F.col("keep_doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near_pairs = minhash_lsh_pairs(docs, threshold=threshold).select("doc_a", "doc_b")
+    comp = connected_components(exact_pairs.unionAll(near_pairs))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return comp.join(sizes, "component").select("doc_id", "component", "group_size")

@@ -14,6 +14,8 @@ from apd_map_reduce_spark.operators.behavior import (
     segment_weighted_avg,
     user_behavior_features,
 )
+from apd_map_reduce_spark.operators.asof import ASOF_ORACLE, asof_last_order
+from apd_map_reduce_spark.operators.components import dup_groups
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
@@ -44,6 +46,21 @@ BEHAVIOR_QUERIES = [
             load_table(s, d, "orders"), load_table(s, d, "customer")
         ),
         SEGMENT_AVG_ORACLE,
+    ),
+    QueryDef(
+        "events_asof_last_order",
+        lambda s, d: asof_last_order(
+            load_table(s, d, "events"), load_table(s, d, "orders")
+        ),
+        ASOF_ORACLE,
+    ),
+    # Iterative label propagation — no SQL twin (driver records
+    # rows-only; tests/test_components.py checks against a Python
+    # union-find reference).
+    QueryDef(
+        "dedup_transitive_groups",
+        lambda s, d: dup_groups(load_table(s, d, "documents")),
+        None,
     ),
 ]
 
