@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.operators.dedup import normalized_tokens
+from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -318,6 +320,46 @@ WITH norm AS (
 SELECT doc_id, md5(n) AS fingerprint, length(n) AS norm_len FROM norm
 """
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram language-model score: mean log10 corpus frequency of a
+    doc's tokens — the classic cheap fluency/perplexity proxy for
+    quality filtering. Deterministic cross-engine: per-token logs are
+    rounded to 6 decimals and summed as exact decimals (double
+    summation order would drift).
+
+    Scale: token→freq is a broadcast-able aggregate of the corpus
+    itself (vocabulary-sized), joined back to the token stream."""
+    tok = spread(docs).select(
+        "doc_id", F.explode(normalized_tokens()).alias("token")
+    )
+    freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    log_dec = F.round(F.log10(F.col("freq").cast("double")), 6).cast("decimal(12,6)")
+    return (
+        tok.join(F.broadcast(freqs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(log_dec).cast("double") / F.count(F.lit(1))).alias("mean_log10_freq"),
+        )
+    )
+
+
+UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split_regex(text, '\\s+'),
+                t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '')) AS token
+  FROM documents
+),
+freqs AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(ROUND(log10(CAST(f.freq AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
+         / COUNT(*) AS mean_log10_freq
+FROM tok t JOIN freqs f ON t.token = f.token
+GROUP BY t.doc_id
+"""
+
+
 TEXTSTATS_QUERIES = [
     QueryDef("text_token_stats", lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_ORACLE),
     QueryDef("text_quality_score", lambda s, d: quality_score(_docs(s, d)), QUALITY_ORACLE),
@@ -325,4 +367,5 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_fingerprint", lambda s, d: doc_fingerprint(_docs(s, d)), FINGERPRINT_ORACLE),
     QueryDef("text_winnow_fingerprints", lambda s, d: winnow_fingerprints(_docs(s, d)), WINNOW_ORACLE),
     QueryDef("text_bpe_token_counts", lambda s, d: bpe_token_counts(_docs(s, d)), BPE_TOKENS_ORACLE),
+    QueryDef("text_unigram_logprob", lambda s, d: unigram_logprob(_docs(s, d)), UNIGRAM_ORACLE),
 ]

@@ -1239,6 +1239,38 @@ FROM fp
 """
 
 
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week; for each
+    (cohort_week, weeks_since) the count of distinct active users.
+    Pure integer arithmetic on µs timestamps — no date-truncation
+    dialect differences."""
+    e = _t(spark, sf_dir, "events")
+    # integer floor-div (matches DuckDB //); a double divide-then-cast
+    # could diverge at exact week boundaries
+    week = F.expr("unix_micros(ts) div 604800000000")
+    by_user = e.select("user_id", week.alias("week"))
+    cohort = by_user.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        by_user.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH by_user AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM by_user GROUP BY user_id
+)
+SELECT c.cohort_week, b.week - c.cohort_week AS weeks_since,
+       COUNT(DISTINCT b.user_id) AS n_active
+FROM by_user b JOIN cohort c ON b.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 # --- data-quality guardrails -------------------------------------------------
 
 def data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,6 +1363,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("histogram_order_prices", histogram_order_prices, HISTOGRAM_ORACLE),
     QueryDef("events_hourly_gapfill", events_hourly_gapfill, GAPFILL_ORACLE),
     QueryDef("events_signup_conversion", events_signup_conversion, FUNNEL_ORACLE),
+    QueryDef("events_weekly_retention", events_weekly_retention, RETENTION_ORACLE),
     QueryDef("data_quality_summary", data_quality_summary, DATA_QUALITY_ORACLE),
     QueryDef("agg_priority_sets", agg_priority_sets, PRIORITY_SETS_ORACLE),
     QueryDef("stats_price_quantity", stats_price_quantity, STATS_ORACLE),
