@@ -55,7 +55,6 @@ def fingerprint_pandas(docs: DataFrame) -> DataFrame:
     normalization paths are proven equivalent by the gate."""
     import re
 
-    import pandas as pd  # noqa: F811
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -81,7 +80,6 @@ def segment_weighted_avg(orders: DataFrame, customers: DataFrame) -> DataFrame:
     per market segment (weights = order count per customer is implicit;
     here: plain mean of totals via integer cents so pandas float
     summation order can't drift from the oracle)."""
-    import pandas as pd  # noqa: F811
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
