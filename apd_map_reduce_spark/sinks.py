@@ -21,8 +21,12 @@ def write_parquet(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    compression: str = "zstd",
 ) -> None:
-    w = df.write.mode(mode)
+    """zstd by default: ~25-40% smaller than snappy on text-heavy
+    columns at similar scan speed — at 100 TB that is the difference
+    that pays for itself on every scan."""
+    w = df.write.mode(mode).option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

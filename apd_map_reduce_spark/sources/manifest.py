@@ -40,6 +40,29 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     return spark.createDataFrame(rows, MANIFEST_SCHEMA)
 
 
+def read_corpus_whole(spark: SparkSession, manifest: DataFrame) -> DataFrame:
+    """S2 alternative (SURVEY.md §2.1): one row per FILE instead of per
+    line — the small-file packing shape (`wholetext`). Downstream
+    whitespace tokenization is line-agnostic, so inverted-index results
+    are identical to the line reader (tests assert it). Prefer this
+    when the corpus is millions of tiny files: fewer rows, same tokens,
+    and the scheduler packs files into splits."""
+    paths = [r.path for r in manifest.select("path").collect()]
+    files = (
+        # NB: the kwarg form — .option("wholetext", ...) is silently
+        # ignored by DataFrameReader.text in this Spark version.
+        spark.read.text(paths, wholetext=True)
+        .select(
+            F.col("value").alias("line"),
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+            ).alias("_src"),
+        )
+    )
+    dim = manifest.select("file_id", F.col("path").alias("_src"))
+    return files.join(F.broadcast(dim), "_src", "inner").select("file_id", "line")
+
+
 def read_corpus(spark: SparkSession, manifest: DataFrame) -> DataFrame:
     """Read every manifest file as lines, tagged with its ordinal file_id.
 
