@@ -129,6 +129,75 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+# Character-trigram profiles per language (top discriminative trigrams
+# from small public wordlists) — the literal "n-gram heuristic"
+# language-ID. Deterministic constants, oracle-expressible.
+TRIGRAM_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "fr": ["les", "ent", "que", "ais", "eur"],
+    "de": ["der", "ein", "sch", "ich", "und"],
+    "es": ["que", "era", "ado", "los", "nte"],
+}
+
+
+def lang_id_ngram(docs: DataFrame) -> DataFrame:
+    """Char-trigram-profile language guess (complement to the
+    stopword-marker `lang_id`); same deterministic argmax machinery."""
+    lowered = F.lower(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum(
+                (F.length(lowered) - F.length(F.replace(lowered, F.lit(tri), F.lit(""))))
+                / F.lit(3)
+                for tri in tris
+            ).cast("long").alias(f"score_{lang}")
+            for lang, tris in TRIGRAM_PROFILES.items()
+        ],
+    )
+    langs = sorted(TRIGRAM_PROFILES)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{la}").alias("score"),
+                F.lit(-rank).alias("neg_rank"),
+                F.lit(la).alias("lang"),
+            )
+            for rank, la in enumerate(langs)
+        ]
+    )
+    best = F.element_at(F.array_sort(pairs), -1)
+    return scored.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("trigram_hits"),
+    )
+
+
+def _lang_ngram_oracle() -> str:
+    score_sql = ",\n    ".join(
+        "CAST(("
+        + " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{tri}', ''))) / 3"
+            for tri in tris
+        )
+        + f") AS BIGINT) AS score_{lang}"
+        for lang, tris in TRIGRAM_PROFILES.items()
+    )
+    langs = sorted(TRIGRAM_PROFILES)
+    case = "CASE GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    for la in langs:
+        case += f" WHEN score_{la} THEN '{la}'"
+    case += " END"
+    greatest = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    return f"""
+WITH s AS (SELECT doc_id,
+    {score_sql}
+  FROM documents)
+SELECT doc_id, {case} AS pred_lang, {greatest} AS trigram_hits FROM s
+"""
+
+
 # GPT-2-style pre-tokenizer shape, ASCII-anchored for cross-engine
 # parity (contractions | space-prefixed letter runs | digit runs |
 # punctuation runs). Real BPE merges happen on top of this split.
@@ -368,4 +437,5 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_winnow_fingerprints", lambda s, d: winnow_fingerprints(_docs(s, d)), WINNOW_ORACLE),
     QueryDef("text_bpe_token_counts", lambda s, d: bpe_token_counts(_docs(s, d)), BPE_TOKENS_ORACLE),
     QueryDef("text_unigram_logprob", lambda s, d: unigram_logprob(_docs(s, d)), UNIGRAM_ORACLE),
+    QueryDef("text_lang_id_ngram", lambda s, d: lang_id_ngram(_docs(s, d)), _lang_ngram_oracle()),
 ]
