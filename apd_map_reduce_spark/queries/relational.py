@@ -727,6 +727,114 @@ FROM with_sid GROUP BY user_id, session_seq
 """
 
 
+# --- q4: order-priority checking (EXISTS + agg) ------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a quarter) having at least one line
+    shipped after the order date, counted per priority — EXISTS as a
+    left-semi join feeding an aggregation."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q15: top supplier(s) by revenue (max-equality, tie-safe) ----------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue in a
+    window — max-equality keeps ALL ties deterministically (no LIMIT)."""
+    from pyspark.sql.window import Window
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("total_revenue"))
+    )
+    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# --- q17: small-quantity revenue (correlated AVG) ----------------------------
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their
+    part's average quantity — correlated scalar AVG decorrelated to a
+    window mean. avg is a double of identical operands in both engines
+    (sum decimal-exact / count), so the filter boundary is stable."""
+    from pyspark.sql.window import Window
+
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = as_double(F.sum(dec2("l_quantity")).over(w)) / F.count(F.lit(1)).over(w)
+    return (
+        l.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            money(F.sum(dec2("l_extendedprice"))).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH a AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
 # --- q7: nation-pair trade volume (CASE + year extraction + multi-join) -----
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,6 +1445,9 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
     QueryDef("approx_distinct_users", approx_distinct_users, None),
     QueryDef("q2_min_cost_parts", q2_min_cost_parts, Q2_ORACLE),
+    QueryDef("q4_order_priority", q4_order_priority, Q4_ORACLE),
+    QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
+    QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
     QueryDef("q16_part_supplier_counts", q16_part_supplier_counts, Q16_ORACLE),
     QueryDef("customers_above_nation_avg", customers_above_nation_avg, ABOVE_AVG_ORACLE),
