@@ -273,6 +273,40 @@ HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
 """
 
 
+# --- q22: global-average scalar subquery + anti join -------------------------
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    open orders, summarized per segment — a global scalar subquery
+    (broadcast single row) composed with an anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (as_double(F.sum(dec2("c_acctbal"))) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle_rich = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money(F.sum(dec2("c_acctbal"))).alias("total_bal"),
+    )
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+
 # --- joins: semi / anti ----------------------------------------------------
 # Scale: both are broadcast-able when the probe side is filtered dims;
 # here orders is the big side → Spark plans shuffled left-semi; at 100 TB
@@ -1448,6 +1482,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q4_order_priority", q4_order_priority, Q4_ORACLE),
     QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
     QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
+    QueryDef("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
     QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
     QueryDef("q16_part_supplier_counts", q16_part_supplier_counts, Q16_ORACLE),
     QueryDef("customers_above_nation_avg", customers_above_nation_avg, ABOVE_AVG_ORACLE),
