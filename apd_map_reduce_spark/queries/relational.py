@@ -951,6 +951,72 @@ WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
 """
 
 
+# --- q8: market share (conditional ratio per group) --------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue within a
+    region, per ship year — conditional aggregation ratio."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("ship_year")
+        )
+        .agg(
+            money(F.sum(F.when(F.col("n_name") == "NATION_8", rev).otherwise(F.lit(0).cast("decimal(18,2)")))).alias("nation_revenue"),
+            money(F.sum(rev)).alias("region_revenue"),
+        )
+        .withColumn("market_share", F.round(F.col("nation_revenue") / F.col("region_revenue"), 6))
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(ROUND(SUM(CASE WHEN n_name = 'NATION_8'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))
+             ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS nation_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS region_revenue,
+       ROUND(CAST(ROUND(SUM(CASE WHEN n_name = 'NATION_8'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))
+             ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE), 6) AS market_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# --- unpivot / melt ----------------------------------------------------------
+
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (unpivot/melt): numeric part attributes as
+    (p_partkey, attr, val) rows."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+"""
+
+
 # --- q16: part-supplier counts with NOT IN (null-safe anti semantics) -------
 
 def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1483,6 +1549,8 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
     QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QueryDef("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
+    QueryDef("q8_market_share", q8_market_share, Q8_ORACLE),
+    QueryDef("unpivot_part_attrs", unpivot_part_attrs, UNPIVOT_ORACLE),
     QueryDef("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
     QueryDef("q16_part_supplier_counts", q16_part_supplier_counts, Q16_ORACLE),
     QueryDef("customers_above_nation_avg", customers_above_nation_avg, ABOVE_AVG_ORACLE),
