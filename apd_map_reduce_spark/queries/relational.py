@@ -1530,6 +1530,212 @@ FROM documents WHERE text IS NULL OR length(text) = 0
 """
 
 
+# --- q13: customer order-count distribution (TPC-H Q13 shape) -------------
+# Shape: LEFT OUTER join with a predicate inside the join condition, then a
+# double aggregation (count per customer, then histogram of counts).
+# Scale: customer⋈orders shuffles on custkey (even key); the second agg's
+# key space is tiny (distinct order counts) → near-free final stage.
+
+def q13_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q12: priority line counts by linestatus (TPC-H Q12 shape, adapted) ----
+# The schema has no l_shipmode/l_commitdate, so the conditional-aggregation
+# shape is kept with l_linestatus as the group key and o_orderpriority as
+# the CASE discriminator. Scale: one orders⋈lineitem shuffle on orderkey;
+# the shipdate filter pushes to the parquet scan.
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --- q9: profit by supplier nation and order year (TPC-H Q9 shape) ---------
+# No partsupp table exists, so ps_supplycost is stood in by p_retailprice ×
+# quantity as the material-cost term; the shape (5-way join, name LIKE
+# filter, group by nation × year) is Q9's. Revenue and cost are aggregated
+# as exact decimals SEPARATELY and differenced after the deterministic
+# double conversion — subtracting mixed-scale decimals would overflow
+# Spark's 38-digit precision cap and trigger engine-specific scale loss.
+# Scale: part/supplier/nation broadcast; lineitem⋈orders is the one big
+# shuffle on orderkey. The LIKE filter prunes part before broadcast.
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("gross_revenue"),
+            money(F.sum(dec2("p_retailprice") * dec2("l_quantity"))).alias("material_cost"),
+        )
+        .withColumn("profit", F.col("gross_revenue") - F.col("material_cost"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name, o_year, gross_revenue, material_cost,
+       gross_revenue - material_cost AS profit
+FROM (
+    SELECT n_name,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS gross_revenue,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS material_cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+)
+ORDER BY n_name, o_year DESC
+"""
+
+
+# --- q11: parts above a grand-total value threshold (TPC-H Q11 shape) ------
+# Shape: HAVING against a scalar subquery over the SAME fact table. The
+# grand total is aggregated once (exact decimal, order-free) and broadcast
+# via crossJoin — one row, so the "join" is free; the per-part agg is the
+# only shuffle. Never sum the per-part doubles to get the total: a double
+# sum is order-dependent across engines.
+
+def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    value = F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))
+    per_part = l.groupBy("l_partkey").agg(money(value).alias("part_value"))
+    total = l.agg(money(value).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.0005) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS part_value
+    FROM lineitem GROUP BY l_partkey
+), tot AS (
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS total_value
+    FROM lineitem
+)
+SELECT l_partkey, part_value
+FROM per_part, tot
+WHERE part_value > 0.0005 * total_value
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- q20: suppliers of heavily-shipped filtered parts (TPC-H Q20 shape) ----
+# Shape: a nested aggregation (shipped quantity per supplier over a
+# name-filtered part set) drives a LEFT SEMI join back to the supplier
+# dimension. Scale: part filter broadcasts into the lineitem scan; the
+# semi join's build side is the post-HAVING supplier set (small) so AQE
+# converts it to a broadcast semi join.
+
+def q20_heavy_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 1700)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1700
+)
+ORDER BY s_suppkey
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -1581,4 +1787,9 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("data_quality_summary", data_quality_summary, DATA_QUALITY_ORACLE),
     QueryDef("agg_priority_sets", agg_priority_sets, PRIORITY_SETS_ORACLE),
     QueryDef("stats_price_quantity", stats_price_quantity, STATS_ORACLE),
+    QueryDef("q13_customer_order_counts", q13_customer_order_counts, Q13_ORACLE),
+    QueryDef("q12_priority_lines", q12_priority_lines, Q12_ORACLE),
+    QueryDef("q9_profit_by_nation_year", q9_profit_by_nation_year, Q9_ORACLE),
+    QueryDef("q11_top_value_parts", q11_top_value_parts, Q11_ORACLE),
+    QueryDef("q20_heavy_bolt_suppliers", q20_heavy_bolt_suppliers, Q20_ORACLE),
 ]
