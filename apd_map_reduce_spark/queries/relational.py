@@ -1715,7 +1715,7 @@ def q20_heavy_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "semi")
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
