@@ -1662,16 +1662,21 @@ ORDER BY n_name, o_year DESC
 # grand total is aggregated once (exact decimal, order-free) and broadcast
 # via crossJoin — one row, so the "join" is free; the per-part agg is the
 # only shuffle. Never sum the per-part doubles to get the total: a double
-# sum is order-dependent across engines.
+# sum is order-dependent across engines. The threshold is 1.5x the MEAN
+# part value — scale-free, where TPC-H's literal fraction needs its
+# 0.0001/SF rescaling to avoid selecting nothing at larger SFs.
 
 def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     value = F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))
     per_part = l.groupBy("l_partkey").agg(money(value).alias("part_value"))
-    total = l.agg(money(value).alias("total_value"))
+    total = l.agg(
+        money(value).alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.lit(0.0005) * F.col("total_value"))
+        .filter(F.col("part_value") > F.lit(1.5) * F.col("total_value") / F.col("n_parts"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
     )
@@ -1685,12 +1690,13 @@ WITH per_part AS (
     FROM lineitem GROUP BY l_partkey
 ), tot AS (
     SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS total_value
+                    * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT l_partkey) AS n_parts
     FROM lineitem
 )
 SELECT l_partkey, part_value
 FROM per_part, tot
-WHERE part_value > 0.0005 * total_value
+WHERE part_value > 1.5 * total_value / n_parts
 ORDER BY part_value DESC, l_partkey
 """
 
