@@ -1742,6 +1742,67 @@ ORDER BY s_suppkey
 """
 
 
+# --- q21: suppliers who shipped last on multi-supplier orders (Q21 shape) --
+# Shape: EXISTS + NOT EXISTS, both correlated to the outer fact row on the
+# same table — Spark-side these are a left-semi join (another supplier
+# exists on the order) and a left-anti join (no other supplier shipped
+# later) on orderkey with non-equi residual conditions. The schema has no
+# l_receiptdate/l_commitdate, so "kept the order waiting" is stood in by
+# "shipped strictly last on a finished multi-supplier order".
+# Scale: all three legs shuffle on orderkey — one co-partitioned exchange
+# feeds semi, anti, and the orders join; supplier names broadcast.
+
+def q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = l.alias("l1")
+    l2 = l.alias("l2")
+    l3 = l.alias("l3")
+    waited = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -1798,4 +1859,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q9_profit_by_nation_year", q9_profit_by_nation_year, Q9_ORACLE),
     QueryDef("q11_top_value_parts", q11_top_value_parts, Q11_ORACLE),
     QueryDef("q20_heavy_bolt_suppliers", q20_heavy_bolt_suppliers, Q20_ORACLE),
+    QueryDef("q21_last_shippers", q21_last_shippers, Q21_ORACLE),
 ]
