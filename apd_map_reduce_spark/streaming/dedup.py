@@ -54,3 +54,41 @@ def dedup_stream_exact(
     """Global streaming dedup — state grows with distinct keys; use only
     for bounded backfills."""
     return events.dropDuplicates(list(keys))
+
+
+def dedup_then_hourly(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    event_time: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Chain TWO stateful operators in one streaming query: watermarked
+    dedup feeding the tumbling-window hourly aggregation — the canonical
+    exactly-once ingest rollup (replays collapse BEFORE they can double
+    the counts). Multiple stateful operators in one query require append
+    output mode, so a window emits only once the watermark passes its
+    end; the still-open tail windows stay in state across restarts.
+
+    The watermark is declared ONCE, upstream of both operators —
+    re-declaring it between stateful operators raises Spark's
+    "redefining watermark is disallowed" (the second declaration would
+    let the window agg see a different lateness horizon than the dedup
+    state it consumes)."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.queries.base import money
+
+    deduped = dedup_stream(events, keys=keys, event_time=event_time, watermark=watermark)
+    return (
+        deduped.groupBy(F.window(event_time, "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(F.col("value").cast("decimal(18,6)"))).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
