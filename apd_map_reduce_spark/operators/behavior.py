@@ -11,6 +11,7 @@ groups — state is bounded by the largest single user's history.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -25,8 +26,11 @@ def _features(pdf: pd.DataFrame) -> pd.DataFrame:
     ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
     gaps = ts_us.diff().dropna()
     # value summed via exact cents (int64) — float summation order in
-    # pandas is not cross-engine stable, integers are.
-    total_cents = int((pdf["value"] * 100).round().astype("int64").sum())
+    # pandas is not cross-engine stable, integers are. Cents via
+    # floor(x*100 + 0.5): pandas .round() is half-to-EVEN while DuckDB
+    # ROUND() is half-away — a value landing exactly on .5 cents would
+    # split the engines; floor(+0.5) is the same function on both sides.
+    total_cents = int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
@@ -85,7 +89,8 @@ def segment_weighted_avg(orders: DataFrame, customers: DataFrame) -> DataFrame:
 
     @pandas_udf("double")
     def _mean_cents(v: pd.Series) -> float:
-        cents = (v * 100).round().astype("int64")
+        # floor(x*100 + 0.5), not .round(): see _features on half-to-even.
+        cents = np.floor(v * 100 + 0.5).astype("int64")
         return float(int(cents.sum())) / 100.0 / len(cents)
 
     # Spark disallows mixing grouped-agg pandas UDFs with built-in
@@ -106,7 +111,7 @@ def segment_weighted_avg(orders: DataFrame, customers: DataFrame) -> DataFrame:
 
 SEGMENT_AVG_ORACLE = """
 SELECT c_mktsegment,
-       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              / COUNT(*), 6) AS avg_totalprice,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
@@ -126,7 +131,7 @@ SELECT e.user_id,
        (SELECT CAST(SUM(gap) AS DOUBLE) / COUNT(gap) FROM g
          WHERE g.user_id = e.user_id AND gap IS NOT NULL) AS mean_gap_us,
        (SELECT MAX(gap) FROM g WHERE g.user_id = e.user_id) AS max_gap_us,
-       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events e
 GROUP BY e.user_id
 """

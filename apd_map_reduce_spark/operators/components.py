@@ -17,11 +17,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """pairs(doc_a, doc_b) undirected → DataFrame[doc_id, component]
     where component = min doc_id reachable. Only docs appearing in
     pairs are returned (isolated docs are their own components
-    trivially)."""
+    trivially).
+
+    Propagation is one hop per round, so convergence needs
+    diameter-many rounds; raises RuntimeError if `max_iter` rounds pass
+    without a fixpoint — silently returning partial labels would hand
+    callers wrong transitive groups with no signal. (A doubling
+    large-star/small-star scheme would converge in O(log d) rounds; at
+    the dup-chain diameters seen in practice the simple loop wins on
+    constant factors.)"""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -31,6 +39,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "component", F.col("doc_id")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -57,8 +66,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); labels would be wrong"
+        )
     return labels
 
 

@@ -39,6 +39,16 @@ JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 HAMMING_MAX = 3
+# Stop-shingle guard: a shingle shared by m docs contributes m² rows to
+# any inverted-index self-join — one boilerplate trigram shared by the
+# whole corpus is a single-key cartesian blowup. Dropping shingles with
+# document frequency > MAX_SHINGLE_DF bounds per-key fan-out at
+# MAX_SHINGLE_DF² regardless of corpus size (a pair whose similarity
+# rests solely on shingles shared by >256 documents is boilerplate by
+# definition — standard stop-shingle practice). Test corpora max out at
+# df=25 (sf0.1), so results are unchanged at test scale; the oracle
+# mirrors the filter so parity holds at any scale.
+MAX_SHINGLE_DF = 256
 
 
 # --- shared building blocks ------------------------------------------------
@@ -143,11 +153,31 @@ FROM documents GROUP BY md5(text)
 
 # --- n-gram Jaccard (exact all-pairs over shared shingles) -------------------
 
+def stop_shingle_filter(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingle hashes whose document frequency exceeds `max_df`.
+
+    The frequent set is tiny by construction (only keys shared by >256
+    docs), so the anti-join broadcasts — no extra shuffle on the big
+    relation; the df aggregation itself shuffles on `sh`, the same key
+    the downstream self-join uses, so the exchange is reusable.
+    """
+    frequent = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(frequent), "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Jaccard over per-doc distinct shingle HASHES (8-byte join keys;
     hashing mirrored in the oracle, so any collision affects both
-    engines identically)."""
-    sh = doc_shingle_hashes(docs).cache()
+    engines identically). Stop-shingles (df > MAX_SHINGLE_DF) are
+    removed BEFORE the self-join and excluded from the per-doc counts,
+    so jaccard is a true Jaccard over the filtered shingle universe —
+    identically in the oracle."""
+    sh = stop_shingle_filter(doc_shingle_hashes(docs)).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -176,10 +206,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+shf AS (
+  SELECT doc_id, sh FROM shh
+  WHERE sh NOT IN (
+    SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
+  )
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,
@@ -210,11 +246,29 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
 
     Result = pairs that (a) collide in ≥1 of 4 bands of the 16-wide
     signature and (b) have true shingle-Jaccard ≥ threshold.
+
+    Exact duplicates are pre-grouped first: identical texts share
+    identical signatures, so an m-copy cluster would make every band
+    key m-hot and the LSH join m²-fan-out. LSH runs over ONE
+    representative per content hash; pairs are expanded back over
+    cluster members afterwards. Result-identical to full-corpus LSH
+    (identical text ⇒ identical shingle set ⇒ identical signature,
+    bands, and jaccard), so the oracle needs no change — but band keys
+    stay cold no matter how many copies of a document exist. The
+    intra-cluster expansion is itself m² per cluster, but those rows
+    ARE the declared output (all duplicate pairs), not join fan-out
+    inside the banding/verification stages.
     """
+    digests = docs.select("doc_id", F.md5("text").alias("ch"))
+    clusters = digests.groupBy("ch").agg(F.min("doc_id").alias("rep_id"))
+    members = digests.join(clusters, "ch").select("doc_id", "rep_id")
+    reps = clusters.select(F.col("rep_id").alias("doc_id"))
+    rep_docs = docs.join(reps, "doc_id", "left_semi")
+
     # One materialization of the hashed shingle relation feeds signature
     # generation AND candidate verification.
-    sh = doc_shingle_hashes(docs).cache()
-    sig = minhash_signatures(docs, sh=sh)
+    sh = doc_shingle_hashes(rep_docs).cache()
+    sig = minhash_signatures(rep_docs, sh=sh)
     rows_per_band = N_MINHASH // LSH_BANDS
     # ONE pass over sig: explode an array of (band, band_hash) structs.
     # A 4-way union would replicate the signature aggregation subtree
@@ -264,7 +318,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
+    rep_pairs = (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn(
@@ -278,6 +332,38 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # Expand rep-level pairs over exact-dup cluster members. Cross-cluster:
+    # every (member of A, member of B) combo inherits the rep jaccard.
+    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Intra-cluster: identical docs are jaccard-1.0 pairs, provided the
+    # doc has ≥1 shingle (zero-shingle docs never pair — 0/0 is no row,
+    # matching the unfactored semantics and the oracle).
+    shingled = sh.select(F.col("doc_id").alias("s_rep")).distinct()
+    x, y = members.alias("x"), members.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .join(shingled, F.col("x.rep_id") == F.col("s_rep"), "left_semi")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _minhash_oracle(threshold: float = JACCARD_THRESHOLD) -> str:

@@ -9,8 +9,14 @@ Two Spark-native answers:
     reducer hot. Works for any MERGEABLE aggregate; exposed here for
     count/sum shapes.
 
-`salted_agg` is semantically identical to `df.groupBy(key).agg(...)` —
-the property test in tests/test_skew.py asserts exact equality.
+`salted_agg` matches `df.groupBy(key).agg(...)` exactly for
+integer/decimal/count/min/max aggregates — the property test in
+tests/test_skew.py asserts equality on those. For DOUBLE-typed sums the
+two-phase split changes floating-point accumulation order, so results
+can differ from the unsalted plan in the last ulp (and across retries:
+the salt derives from monotonically_increasing_id, which is
+nondeterministic under task re-execution). Cast double sum inputs to
+decimal first if you need exactness — same rule the query layer uses.
 """
 
 from __future__ import annotations

@@ -28,6 +28,15 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
+        # (PARQUET_TYPE_ILLEGAL) unless this runtime SQLConf is on. The
+        # engine's own session factory sets it, but load_table must work
+        # under ANY caller-provided session (e.g. the correctness harness),
+        # so set it here too. Deliberately not restored: the conf is
+        # consulted again at scan execution time, so resetting it before
+        # the action runs would re-break the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS); with

@@ -2,8 +2,18 @@
 
 Window aggregations stream natively, but a RANKING over them does not
 (no windowed row_number in update mode) — the standard pattern is:
-aggregate in the stream, then re-rank the maintained aggregate inside
-``foreachBatch`` and upsert the k winners into the serving sink.
+aggregate in the stream, then upsert the per-(window, event_type)
+counts into a serving store inside ``foreachBatch`` and re-rank the
+affected windows there.
+
+Output mode is ``update``: each micro-batch emits only the (window,
+event_type) rows whose count changed, and the declared watermark
+actually evicts expired windows from Spark state (in ``complete`` mode
+it would not — state and per-batch output would grow with total window
+count forever). The serving store keeps raw counts per window so it
+can re-rank from changed rows alone; ``prune_store`` drops windows the
+caller knows are final, mirroring the watermark eviction on the
+serving side.
 
 Here the sink is an in-memory dict keyed by window (tests + local dev);
 swap `_upsert` for a JDBC/Delta MERGE at scale — foreachBatch hands you
@@ -14,33 +24,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 TOP_K = 3
 
-# window_start -> list[(event_type, n_events)] — the "serving store"
-_SERVING_STORE: dict[str, list[tuple[str, int]]] = {}
+# window_start -> {event_type: n_events} — raw counts, the upsert target.
+_COUNT_STORE: dict[str, dict[str, int]] = {}
 
 
 def clear_store() -> None:
-    _SERVING_STORE.clear()
+    _COUNT_STORE.clear()
 
 
 def snapshot_store() -> dict[str, list[tuple[str, int]]]:
-    return dict(_SERVING_STORE)
+    """Top-k view over the maintained counts (what a serving query reads)."""
+    return {
+        hour: sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+        for hour, counts in _COUNT_STORE.items()
+    }
+
+
+def prune_store(before_hour: str) -> None:
+    """Drop windows that start before `before_hour` ("yyyy-MM-dd HH:mm:ss").
+
+    Serving-side twin of the watermark: once a window can no longer
+    receive updates, its counts are dead weight. Lexicographic compare
+    is chronological for this timestamp format.
+    """
+    for hour in [h for h in _COUNT_STORE if h < before_hour]:
+        del _COUNT_STORE[hour]
 
 
 def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-    w = Window.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("event_type"))
-    ranked = (
-        batch_df.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .collect()
-    )
-    by_window: dict[str, list[tuple[str, int]]] = {}
-    for r in ranked:
-        by_window.setdefault(r.hour, []).append((r.event_type, r.n_events))
-    _SERVING_STORE.update(by_window)
+    # Update mode: only changed (hour, event_type) rows arrive — bounded
+    # by the batch's own update footprint, not total history.
+    for r in batch_df.collect():
+        _COUNT_STORE.setdefault(r.hour, {})[r.event_type] = r.n_events
 
 
 def streaming_topk_event_types(events: DataFrame, watermark: str = "2 hours"):
@@ -58,7 +76,7 @@ def streaming_topk_event_types(events: DataFrame, watermark: str = "2 hours"):
     )
     return (
         agg.writeStream.foreachBatch(_upsert)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

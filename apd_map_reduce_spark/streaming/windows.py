@@ -77,12 +77,21 @@ def sliding_user_activity(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
-    """Drain an availableNow stream into an in-memory sink (test/dev)."""
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain an availableNow stream into an in-memory sink (test/dev).
+
+    `output_mode` must match the plan: "append" (the default) is the
+    only mode valid for non-aggregating streams and for chained
+    stateful operators, and it lets the watermark actually evict state;
+    pass "complete" explicitly only for a single aggregation you want
+    re-emitted in full each batch.
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -31,16 +31,22 @@ def main() -> None:
     # codegen/broadcast paths, then caches are dropped so the timed pass
     # re-executes every plan end-to-end. Reference numbers include C++
     # process startup; warm-vs-warm is the honest comparison (SURVEY §6.3).
+    def run(df) -> None:
+        # noop-sink write, not count(): count() lets Catalyst drop final
+        # sorts (EliminateSorts) and every projection, under-measuring
+        # queries whose cost includes the ORDER BY / projection stage.
+        # The noop sink executes the complete physical plan and discards
+        # rows executor-side (no driver materialization).
+        df.write.format("noop").mode("overwrite").save()
+
     for q in headline_queries():
-        q.fn(spark, sf_dir).count()
+        run(q.fn(spark, sf_dir))
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for q in headline_queries():
         t0 = time.time()
-        # count() forces the full plan without driver-side materialization
-        # of the result set (the honest "query engine" cost).
-        q.fn(spark, sf_dir).count()
+        run(q.fn(spark, sf_dir))
         timings[q.name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -47,3 +47,71 @@ def test_streaming_topk_matches_batch(spark, tmp_path):
     for r in batch:
         want.setdefault(r.hour, []).append((r.event_type, r.n_events))
     assert got == want
+
+
+def test_streaming_topk_state_is_bounded_by_watermark(spark, tmp_path):
+    """Update mode + watermark must EVICT old windows from Spark state:
+    final-batch state rows < total distinct (window, event_type) pairs."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def mk(hours, path):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(hours=h, minutes=m), et, 1.0)
+            for h in hours
+            for m in (0, 30)
+            for et in ("click", "view")
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    d = str(tmp_path / "ev")
+    mk(range(0, 4), d + "/b1")  # hours 0-3
+    mk(range(20, 24), d + "/b2")  # hours 20-23 → watermark passes hours 0-3
+    import glob as g
+    import shutil
+
+    os.makedirs(d + "/in")
+    for i, src in enumerate(sorted(g.glob(d + "/b*/part-*.parquet"))):
+        dst = os.path.join(d, "in", f"batch{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    stream = read_events_stream(spark, d + "/in", schema, max_files_per_trigger=1)
+    clear_store()
+    q = streaming_topk_event_types(stream, watermark="2 hours")
+    q.awaitTermination()
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 2, "expected one micro-batch per file"
+    final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    total_pairs = 8 * 2  # 8 distinct hours x 2 event types overall
+    assert final_state_rows < total_pairs, (
+        f"state not evicted: {final_state_rows} rows >= {total_pairs} total pairs"
+    )
+
+    # Serving store still has every window's top-k (it is the sink, not state)
+    got = snapshot_store()
+    assert len(got) == 8
+    assert all(v == [("click", 2), ("view", 2)] for v in got.values())
+
+    # prune_store drops finalized windows from the serving side too
+    from apd_map_reduce_spark.streaming.topk import prune_store
+
+    prune_store("2024-01-01 20:00:00")
+    assert len(snapshot_store()) == 4
