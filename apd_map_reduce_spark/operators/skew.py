@@ -3,7 +3,11 @@ partitioning suffers 100x letter skew and load-balances poorly; at
 100 TB a single hot key stalls a straggler task).
 
 Two Spark-native answers:
-  * AQE skew-join splitting — already on in session.py (config, not code).
+  * AQE skew-join splitting — already on in session.py (config, not
+    code); `aqe_skew_split_confs` lowers its thresholds so the split is
+    observable/testable at local scale, and tests/test_skew_and_api.py
+    asserts the `SortMergeJoin(skew=true)` / `AQEShuffleRead skewed`
+    markers in the executed plan.
   * Salted two-phase aggregation — for aggregations whose key histogram
     is so skewed that even AQE's post-shuffle splitting leaves one
     reducer hot. Works for any MERGEABLE aggregate; exposed here for
@@ -21,8 +25,55 @@ decimal first if you need exactness — same rule the query layer uses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def aqe_skew_split_confs(
+    spark: SparkSession,
+    threshold: str = "32KB",
+    advisory: str = "16KB",
+    factor: int = 2,
+) -> Iterator[None]:
+    """Temporarily tune AQE so its skew-join split engages on test-scale
+    data (production defaults only split partitions >256MB — correct at
+    100 TB, unobservable at sf0.001). Broadcast is disabled so the join
+    stays sort-merge, the shape skew splitting applies to. Restores every
+    conf on exit.
+
+    Note AQE skips the split when the join's output partitioning is
+    reused downstream (e.g. a groupBy on the join key) unless
+    spark.sql.adaptive.forceOptimizeSkewedJoin is set — splitting would
+    introduce an extra shuffle there.
+    """
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(factor),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": threshold,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def salted_agg(

@@ -1262,6 +1262,35 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles per return flag — the oracle-checkable
+    twin of approx_percentile_prices. percentile_disc returns an actual
+    data value (first value with cumulative distribution >= p), so both
+    engines agree bit-for-bit with no interpolation rounding;
+    tests/test_oracle_parity.py additionally asserts the approx sketch
+    lands within its accuracy bound of these exact values."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("median_price"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+PERCENTILE_DISC_ORACLE = """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS median_price,
+       CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99_price,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per nation (the scalable sibling
     is approx_percentile; exact percentile is fine per-group)."""
@@ -1836,6 +1865,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("window_ntile_customers", window_ntile_customers, WINDOW_NTILE_ORACLE),
     QueryDef("percentile_acctbal", percentile_acctbal, PERCENTILE_ORACLE),
     QueryDef("approx_percentile_prices", approx_percentile_prices, None),
+    QueryDef("percentile_disc_prices", percentile_disc_prices, PERCENTILE_DISC_ORACLE),
     QueryDef("window_top_customers_per_nation", window_top_customers_per_nation, WINDOW_RANK_ORACLE),
     QueryDef("window_running_revenue", window_running_revenue, WINDOW_RUNNING_ORACLE),
     QueryDef("window_event_deltas", window_event_deltas, WINDOW_LAG_ORACLE),

@@ -45,3 +45,28 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= names
     assert len(names) >= 30
+
+
+def test_approx_percentile_within_accuracy_of_exact(spark):
+    """The approx sketch (rows-only in the driver) must land within its
+    rank-accuracy bound of the exact discrete percentiles: with
+    accuracy=10000 the GK sketch guarantees rank error <= n/10000; on
+    this data that is well under 1% relative value error."""
+    from apd_map_reduce_spark.queries.relational import (
+        approx_percentile_prices,
+        percentile_disc_prices,
+    )
+
+    approx = {
+        r.l_returnflag: (float(r.approx_median), float(r.approx_p99))
+        for r in approx_percentile_prices(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.l_returnflag: (float(r.median_price), float(r.p99_price))
+        for r in percentile_disc_prices(spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (am, ap) in approx.items():
+        em, ep = exact[flag]
+        assert abs(am - em) / em < 0.01, f"{flag} median: approx={am} exact={em}"
+        assert abs(ap - ep) / ep < 0.01, f"{flag} p99: approx={ap} exact={ep}"

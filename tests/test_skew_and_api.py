@@ -102,3 +102,34 @@ def test_sliding_user_activity_stream(spark, tmp_path):
     rows = spark.table("sliding").collect()
     assert len(rows) > 0
     assert all(r.approx_users > 0 and r.n_events > 0 for r in rows)
+
+
+def test_aqe_skew_join_split_in_executed_plan(spark):
+    """AQE's skew-split (the config-not-code twin of salted_agg) must
+    engage on a 90%-one-key join: the final adaptive plan marks the
+    join skew=true and the hot side's shuffle read as skewed."""
+    from apd_map_reduce_spark.operators.skew import aqe_skew_split_confs
+
+    left = spark.range(300_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    with aqe_skew_split_confs(spark):
+        # Aggregate on a key DIFFERENT from the join key: reusing the
+        # join's partitioning downstream makes AQE (correctly) skip the
+        # split to avoid an extra shuffle.
+        out = (
+            left.join(right, "k")
+            .groupBy((F.col("v") % 1000).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(rows) == 1000
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
