@@ -132,6 +132,22 @@ def multimodal_thumbnails(docs: DataFrame) -> DataFrame:
     return binary.mapInPandas(_resize_stub, THUMB_SCHEMA)
 
 
+def multimodal_thumbnails_csv(docs: DataFrame) -> DataFrame:
+    """Checkable projection of `multimodal_thumbnails`: the ARRAY<INT>
+    thumbnail flattened to a deterministic CSV string so the result has
+    a portable value-hash (raw array columns aren't canonicalizable by
+    generic result comparators). The array-returning function stays the
+    API; this is the registered/oracled shape."""
+    thumbs = multimodal_thumbnails(docs)
+    return thumbs.select(
+        "doc_id",
+        F.array_join(
+            F.transform("thumb", lambda x: x.cast("string")), ","
+        ).alias("thumb_csv"),
+        "n_bytes",
+    )
+
+
 def multimodal_frame_sample(docs: DataFrame) -> DataFrame:
     binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return binary.mapInPandas(_frame_sample_stub, FRAMES_SCHEMA)
@@ -163,6 +179,30 @@ FROM frames
 """
 
 
+# Thumbnail oracle: the fake "resize" is per-chunk byte sums mod 256 on
+# ASCII payloads, so each cell is SQL-expressible — explode the text
+# into ascii codes, slice per cell, sum. Python slice b[i*step:(i+1)*step]
+# maps to 1-based list_slice(codes, i*step+1, (i+1)*step) (both clamp at
+# the end; both yield empty past the end → coalesce 0, matching sum([])).
+THUMB_CELLS = THUMB_GRID * THUMB_GRID
+THUMB_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         greatest(greatest(octet_length(encode(text)), 1) // {THUMB_CELLS}, 1) AS step,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(range({THUMB_CELLS}),
+           i -> ((coalesce(list_sum(list_slice(codes, i * step + 1, (i + 1) * step)), 0) % 256)::BIGINT)::VARCHAR),
+         ',') AS thumb_csv,
+       n_bytes
+FROM base
+"""
+
+
 MULTIMODAL_QUERIES = [
     QueryDef(
         "multimodal_metadata",
@@ -174,11 +214,12 @@ MULTIMODAL_QUERIES = [
         lambda s, d: multimodal_frame_sample(load_table(s, d, "documents")),
         FRAMES_ORACLE,
     ),
-    # thumbnail emits an array column — no portable value-hash; driver
-    # records the rows-only check.
+    # Registered as the CSV projection so the result is canonicalizable
+    # (raw ARRAY<INT> broke the external comparator's pandas sort); the
+    # array-returning multimodal_thumbnails stays the library API.
     QueryDef(
         "multimodal_thumbnails",
-        lambda s, d: multimodal_thumbnails(load_table(s, d, "documents")),
-        None,
+        lambda s, d: multimodal_thumbnails_csv(load_table(s, d, "documents")),
+        THUMB_ORACLE,
     ),
 ]

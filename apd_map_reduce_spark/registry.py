@@ -64,34 +64,7 @@ BEHAVIOR_QUERIES = [
     ),
 ]
 
-# Names the round-1 correctness harness already confirmed green
-# (rows/schema/hash all true in CORRECTNESS_r01.json). The harness
-# evaluates registry entries front-to-back with a cap (~50 observed in
-# round 1), so we order ALL_QUERIES: unverified oracle queries first,
-# then unverified rows-only entries, then the proven-green ones. New
-# queries added later rounds are unlisted here and float to the front
-# automatically.
-_PROVEN_GREEN = frozenset(
-    {
-        "corpus_inverted_index", "corpus_word_count", "q1_pricing_summary",
-        "q3_top_orders", "q5_supplier_volume", "q6_forecast_revenue",
-        "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
-        "semi_join_customers", "anti_join_customers", "rollup_region_nation",
-        "cube_status_priority", "count_distinct_parts", "q2_min_cost_parts",
-        "q4_order_priority", "q15_top_supplier", "q17_small_quantity",
-        "q22_idle_rich_customers", "q8_market_share", "unpivot_part_attrs",
-        "q7_nation_volume", "q16_part_supplier_counts",
-        "customers_above_nation_avg", "latest_order_per_customer",
-        "disjunctive_join_parts", "pivot_status_by_priority",
-        "grouping_sets_orders", "window_rolling_30d", "window_lead_order_gap",
-        "window_ntile_customers", "percentile_acctbal",
-        "window_top_customers_per_nation", "window_running_revenue",
-        "set_ops_nation_keys", "set_ops_multiset", "er_fuzzy_part_names",
-        "topk_orders", "histogram_order_prices", "data_quality_summary",
-    }
-)
-
-_DECLARED: list[QueryDef] = (
+ALL_QUERIES: list[QueryDef] = (
     CORPUS_QUERIES
     + RELATIONAL_QUERIES
     + TEXTSTATS_QUERIES
@@ -101,19 +74,6 @@ _DECLARED: list[QueryDef] = (
     + PIPELINE_QUERIES
     + BEHAVIOR_QUERIES
 )
-
-
-def _priority(q: QueryDef) -> int:
-    if q.name in _PROVEN_GREEN:
-        return 2  # already driver-confirmed — re-check last
-    if q.oracle is None:
-        return 1  # rows-only check — weaker signal, after oracle entries
-    return 0  # unverified oracle query — strongest new evidence first
-
-
-ALL_QUERIES: list[QueryDef] = sorted(
-    _DECLARED, key=lambda q: _priority(q)
-)  # sorted() is stable: within each tier the declaration order holds
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
 
