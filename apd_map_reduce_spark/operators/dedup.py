@@ -22,6 +22,14 @@ Scale design (the part that matters at 100 TB):
     per-bit row explosion); near-dup pairs via 4-chunk banding, which is
     EXACT for hamming ≤ 3 by pigeonhole (4 chunks, ≤3 differing bits →
     at least one chunk equal).
+
+Filtered-universe semantics: `ngram_jaccard_pairs` computes Jaccard
+over the shingle universe with document frequency ≤ `max_df` (default
+MAX_SHINGLE_DF) — shingles shared by more documents are treated as
+boilerplate and excluded from both the intersection and the per-doc
+set sizes. The oracles mirror the filter, so engine parity holds, but
+the declared result is NOT all-shingles Jaccard once any shingle
+exceeds max_df.
 """
 
 from __future__ import annotations
@@ -160,6 +168,10 @@ def stop_shingle_filter(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFram
     docs), so the anti-join broadcasts — no extra shuffle on the big
     relation; the df aggregation itself shuffles on `sh`, the same key
     the downstream self-join uses, so the exchange is reusable.
+
+    NOTE: `sh` is scanned twice (df aggregation + anti-join input).
+    Cache it first when it is expensive to recompute — shingling is the
+    CPU-bound stage (`ngram_jaccard_pairs` does exactly this).
     """
     frequent = (
         sh.groupBy("sh")
@@ -170,14 +182,30 @@ def stop_shingle_filter(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFram
     return sh.join(F.broadcast(frequent), "sh", "left_anti")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
     """Jaccard over per-doc distinct shingle HASHES (8-byte join keys;
     hashing mirrored in the oracle, so any collision affects both
-    engines identically). Stop-shingles (df > MAX_SHINGLE_DF) are
-    removed BEFORE the self-join and excluded from the per-doc counts,
-    so jaccard is a true Jaccard over the filtered shingle universe —
-    identically in the oracle."""
-    sh = stop_shingle_filter(doc_shingle_hashes(docs)).cache()
+    engines identically).
+
+    Filtered-universe semantics: stop-shingles (document frequency >
+    `max_df`) are removed BEFORE the self-join and excluded from the
+    per-doc counts, so `jaccard` is the true Jaccard over the
+    max_df-filtered shingle universe — NOT over all shingles. A pair
+    whose similarity rests solely on shingles shared by more than
+    `max_df` documents (boilerplate) does not appear. The oracle mirrors
+    the filter, so parity holds at any scale.
+
+    The RAW shingle relation is cached once: the df aggregation that
+    finds stop-shingles materializes it, and the anti-join, per-doc
+    counts, and both self-join sides then read memory instead of
+    re-shingling (shingling is the CPU-bound stage — recomputing it per
+    consumer doubled this query's cost)."""
+    raw = doc_shingle_hashes(docs).cache()
+    sh = stop_shingle_filter(raw, max_df=max_df)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -229,19 +257,39 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+# Universal-hash family for the MinHash permutations: h_i(x) =
+# (a_i * (x mod 2^31) + b_i) mod p with p = 2^31 - 1 (prime). Pure
+# 64-bit-safe integer arithmetic (a_i, x31 < 2^31 ⇒ product < 2^62),
+# identical in DuckDB — vs the previous seeded-md5 family this removes
+# 16 string-concat+md5+hex-conv evaluations PER SHINGLE ROW from the
+# signature aggregation (the measured hot spot). Constants are fixed
+# odd multipliers from a Knuth-style LCG so both engines embed the same
+# literals.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_MH_PARAMS = [
+    (((2654435761 * (i + 1)) % 2147483648) | 1, (40503 * (i + 7919)) % 2147483648)
+    for i in range(N_MINHASH)
+]
+
+
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """k=16 MinHash signature in ONE aggregation pass over the hashed
-    shingle relation (seeded re-hash of the 60-bit shingle hash — an
-    equally uniform family, and the whole pipeline shares one scan)."""
+    shingle relation (universal-hash re-map of the 60-bit shingle hash —
+    a uniform family, and the whole pipeline shares one scan)."""
     sh = sh if sh is not None else doc_shingle_hashes(docs)
+    x31 = F.col("sh") % F.lit(2147483648)
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"{seed}:"), F.col("sh").cast("string")))).alias(f"h{seed}")
-        for seed in range(N_MINHASH)
+        F.min((F.lit(a) * x31 + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{seed}")
+        for seed, (a, b) in enumerate(_MH_PARAMS)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """Banded-LSH candidates, verified with exact Jaccard.
 
     Result = pairs that (a) collide in ≥1 of 4 bands of the 16-wide
@@ -258,12 +306,34 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     intra-cluster expansion is itself m² per cluster, but those rows
     ARE the declared output (all duplicate pairs), not join fan-out
     inside the banding/verification stages.
+
+    The guard is pay-per-use: only clusters with n_copies > 1
+    participate in member bookkeeping. On a corpus with no exact
+    duplicates `dup_members` is empty, the anti-join that drops
+    non-representative copies has an empty build side, and the
+    expansion joins are left joins against empty relations — AQE
+    collapses all of them at runtime, so the no-skew case pays only
+    the digest aggregation (one shuffle of (doc_id, md5) rows).
+
+    `clusters` (optional) is the output of `dedup_exact(docs)` —
+    pass it when the caller already computed (and ideally cached) the
+    digest aggregation, e.g. the clean-corpus capstone, so the scan
+    isn't repeated.
     """
     digests = docs.select("doc_id", F.md5("text").alias("ch"))
-    clusters = digests.groupBy("ch").agg(F.min("doc_id").alias("rep_id"))
-    members = digests.join(clusters, "ch").select("doc_id", "rep_id")
-    reps = clusters.select(F.col("rep_id").alias("doc_id"))
-    rep_docs = docs.join(reps, "doc_id", "left_semi")
+    if clusters is None:
+        clusters = dedup_exact(docs)
+    dup_members = (
+        digests.join(
+            clusters.filter(F.col("n_copies") > 1).select(
+                F.col("content_hash").alias("ch"),
+                F.col("keep_doc_id").alias("rep_id"),
+            ),
+            "ch",
+        ).select("doc_id", "rep_id")
+    )
+    dup_extras = dup_members.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+    rep_docs = docs.join(dup_extras, "doc_id", "left_anti")
 
     # One materialization of the hashed shingle relation feeds signature
     # generation AND candidate verification.
@@ -334,22 +404,30 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     )
     # Expand rep-level pairs over exact-dup cluster members. Cross-cluster:
     # every (member of A, member of B) combo inherits the rep jaccard.
-    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da"))
-    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    # LEFT joins against the dup-cluster members only: a rep with no
+    # duplicates stands for itself (coalesce), so the expansion is free
+    # when no exact dups exist instead of an inner join through a
+    # members relation the size of the corpus.
+    ma = dup_members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = dup_members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    ea = F.coalesce(F.col("da"), F.col("doc_a"))
+    eb = F.coalesce(F.col("db"), F.col("doc_b"))
     cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.least(ea, eb).alias("doc_a"),
+            F.greatest(ea, eb).alias("doc_b"),
             "jaccard",
         )
     )
     # Intra-cluster: identical docs are jaccard-1.0 pairs, provided the
     # doc has ≥1 shingle (zero-shingle docs never pair — 0/0 is no row,
-    # matching the unfactored semantics and the oracle).
+    # matching the unfactored semantics and the oracle). Singleton
+    # clusters generate no intra pairs, so joining dup_members (not all
+    # members) is result-identical.
     shingled = sh.select(F.col("doc_id").alias("s_rep")).distinct()
-    x, y = members.alias("x"), members.alias("y")
+    x, y = dup_members.alias("x"), dup_members.alias("y")
     intra = (
         x.join(
             y,
@@ -369,8 +447,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
 def _minhash_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
     rows_per_band = N_MINHASH // LSH_BANDS
     sig_aggs = ",\n    ".join(
-        f"MIN({_hash60_sql(repr(f'{seed}:') + ' || sh::VARCHAR')}) AS h{seed}"
-        for seed in range(N_MINHASH)
+        f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
+        for seed, (a, b) in enumerate(_MH_PARAMS)
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {band} AS band, md5({expr}) AS band_hash FROM sig".format(

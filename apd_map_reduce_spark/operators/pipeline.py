@@ -42,10 +42,13 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
 
     Returns DataFrame[doc_id, n_tokens, alpha_token_ratio] of keepers.
     """
-    keep_exact = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    # One digest aggregation feeds BOTH the exact-dup filter and the
+    # LSH path's exact-dup pre-grouping (cached: two consumers).
+    clusters = dedup_exact(docs).cache()
+    keep_exact = clusters.select(F.col("keep_doc_id").alias("doc_id"))
     survivors = docs.join(keep_exact, "doc_id", "left_semi")
 
-    near_pairs = minhash_lsh_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    near_pairs = minhash_lsh_pairs(docs, threshold=NEAR_DUP_THRESHOLD, clusters=clusters)
     drop_b = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = survivors.join(drop_b, "doc_id", "left_anti")
 
