@@ -7,8 +7,13 @@ doc takes the min label among itself and its neighbors; fixpoint in at
 most diameter rounds. Driver-side loop over DataFrames (the standard
 Spark shape for iterative algorithms — Pregel-style supersteps); each
 iteration is one shuffle-bounded join+agg, convergence checked with a
-cheap count. No SQL twin — iterative; registered rows-only per the
-driver contract.
+cheap count.
+
+The fixpoint IS SQL-expressible via a recursive CTE (reachability
+closure then min per node), so the registered query carries a DuckDB
+`WITH RECURSIVE` oracle (`DUP_GROUPS_ORACLE`) — the oracle enumerates
+reachable-node sets (fine at oracle scale), while the Spark side stays
+the shuffle-bounded label-propagation loop that scales.
 """
 
 from __future__ import annotations
@@ -93,3 +98,49 @@ def dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     comp = connected_components(exact_pairs.unionAll(near_pairs))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     return comp.join(sizes, "component").select("doc_id", "component", "group_size")
+
+
+def _dup_groups_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin of `dup_groups`: same pair SQL as the MinHash oracle,
+    closed transitively with a recursive reachability CTE; component =
+    min reachable doc_id (exactly the label-propagation fixpoint)."""
+    from apd_map_reduce_spark.operators.dedup import _minhash_oracle
+
+    # CTE names are tg_-prefixed: the embedded minhash oracle brings its
+    # own WITH list (pairs, exact, cnt, ...) and CTE names in the outer
+    # list would shadow them inside the nested subquery.
+    return f"""
+WITH RECURSIVE
+tg_near AS (SELECT doc_a, doc_b FROM ({_minhash_oracle(threshold)}) n),
+tg_dig AS (SELECT doc_id, md5(text) AS ch FROM documents),
+tg_clus AS (
+  SELECT ch, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM tg_dig GROUP BY ch
+),
+tg_exact AS (
+  SELECT c.keep_id AS doc_a, d.doc_id AS doc_b
+  FROM tg_clus c JOIN tg_dig d ON c.ch = d.ch
+  WHERE c.n_copies > 1 AND d.doc_id <> c.keep_id
+),
+tg_pairs AS (SELECT doc_a, doc_b FROM tg_exact UNION SELECT doc_a, doc_b FROM tg_near),
+tg_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM tg_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM tg_pairs
+),
+tg_reach AS (
+  SELECT src AS doc_id, src AS r FROM tg_edges
+  UNION
+  SELECT e.src AS doc_id, w.r AS r
+  FROM tg_edges e JOIN tg_reach w ON w.doc_id = e.dst
+),
+tg_comp AS (SELECT doc_id, MIN(r) AS component FROM tg_reach GROUP BY doc_id)
+SELECT tg_comp.doc_id, tg_comp.component, sz.group_size
+FROM tg_comp
+JOIN (
+  SELECT component, COUNT(*) AS group_size
+  FROM tg_comp GROUP BY component
+) sz USING (component)
+"""
+
+
+DUP_GROUPS_ORACLE = _dup_groups_oracle()

@@ -1832,6 +1832,237 @@ LIMIT 100
 """
 
 
+# --- q19: discounted revenue (disjunctive bracket predicate) -----------------
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose predicate is an OR of three
+    brand/size/quantity brackets (the schema has no p_container /
+    l_shipmode, so the brackets use the columns that exist).
+
+    Scale: Catalyst pushes the part-side residue of the OR
+    (p_brand IN (...) ∧ p_size ≤ 35) into the parquet scan and the
+    lineitem-side residue (l_quantity ≤ 30) into the big scan, so the
+    disjunction does NOT force full scans; the filtered part side
+    broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(bracket & F.col("l_discount").between(0.01, 0.06))
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+  AND l_discount BETWEEN 0.01 AND 0.06
+"""
+
+
+# --- event-pattern queries (funnel with step timeouts, sequence match,
+# gaps-and-islands bursts) ----------------------------------------------------
+
+_FUNNEL_STEP1_US = 7 * 86400 * 1_000_000  # view → click window
+_FUNNEL_STEP2_US = 30 * 86400 * 1_000_000  # click → purchase window
+
+
+def events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with per-step timeouts: first view → first click
+    within 7 days of that view → first purchase within 30 days of that
+    click; per-step distinct-user counts.
+
+    Scale: three aggregations and two joins, ALL keyed on user_id — one
+    partitioning carries the whole funnel, no window scan of the full
+    event stream. Comparisons are µs-integer (unix_micros/epoch_us) so
+    boundary behavior is engine-identical."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("v_us"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("c_cand"))
+        .join(views, "user_id")
+        .filter((F.col("c_cand") > F.col("v_us")) & (F.col("c_cand") <= F.col("v_us") + F.lit(_FUNNEL_STEP1_US)))
+        .groupBy("user_id")
+        .agg(F.min("c_cand").alias("c_us"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_cand"))
+        .join(clicks, "user_id")
+        .filter((F.col("p_cand") > F.col("c_us")) & (F.col("p_cand") <= F.col("c_us") + F.lit(_FUNNEL_STEP2_US)))
+        .groupBy("user_id")
+        .agg(F.min("p_cand").alias("p_us"))
+    )
+    return (
+        views.agg(F.lit("1_view").alias("step"), F.count(F.lit(1)).alias("n_users"))
+        .unionByName(clicks.agg(F.lit("2_click").alias("step"), F.count(F.lit(1)).alias("n_users")))
+        .unionByName(purchases.agg(F.lit("3_purchase").alias("step"), F.count(F.lit(1)).alias("n_users")))
+    )
+
+
+FUNNEL_TIMEOUT_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > v.v_us AND epoch_us(e.ts) <= v.v_us + {_FUNNEL_STEP1_US}::BIGINT
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > c.c_us AND epoch_us(e.ts) <= c.c_us + {_FUNNEL_STEP2_US}::BIGINT
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click' AS step, COUNT(*) AS n_users FROM c
+UNION ALL
+SELECT '3_purchase' AS step, COUNT(*) AS n_users FROM p
+"""
+
+
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern over each user's event sequence:
+    an immediate view → click → purchase run (three consecutive rows in
+    (ts, event_id) order) completing within 7 days; one row per
+    match (overlaps allowed — AFTER MATCH SKIP TO NEXT ROW semantics).
+
+    Scale: one window partitioning by user_id — the standard Spark
+    expression of row-pattern matching; state is two LEADs, not the
+    user's whole history."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("t_us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(us, 2).over(w).alias("t2_us"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (F.col("t2_us") - F.col("t_us") <= F.lit(_FUNNEL_STEP1_US))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            ((F.col("t2_us") - F.col("t_us")) / F.lit(1_000_000.0)).alias("duration_s"),
+        )
+    )
+
+
+SEQUENCE_MATCH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         LEAD(epoch_us(ts), 2) OVER w AS t2_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id AS start_event_id,
+       (t2_us - t_us) / 1000000.0 AS duration_s
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND t2_us - t_us <= {_FUNNEL_STEP1_US}::BIGINT
+"""
+
+
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sequence pattern: maximal runs of ≥3
+    consecutive 'error' events per user (uninterrupted by any other
+    event type), with run length and time bounds.
+
+    Scale: the row_number-difference trick — two window passes over ONE
+    (user_id) partitioning, then a keyed aggregation; no self-join, no
+    iteration."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    with_rn = e.withColumn("rn_all", F.row_number().over(w_all))
+    errs = with_rn.filter(F.col("event_type") == "error")
+    w_err = Window.partitionBy("user_id").orderBy(F.asc("rn_all"))
+    runs = errs.withColumn("grp", F.col("rn_all") - F.row_number().over(w_err))
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_at"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_at"),
+        )
+        .filter(F.col("n_errors") >= 3)
+        .select("user_id", "n_errors", "first_at", "last_at")
+    )
+
+
+ERROR_BURSTS_ORACLE = """
+WITH with_rn AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn_all
+  FROM events
+),
+runs AS (
+  SELECT user_id, ts,
+         rn_all - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn_all ASC) AS grp
+  FROM with_rn WHERE event_type = 'error'
+)
+SELECT user_id, COUNT(*) AS n_errors,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_at,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_at
+FROM runs GROUP BY user_id, grp
+HAVING COUNT(*) >= 3
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -1890,4 +2121,8 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q11_top_value_parts", q11_top_value_parts, Q11_ORACLE),
     QueryDef("q20_heavy_bolt_suppliers", q20_heavy_bolt_suppliers, Q20_ORACLE),
     QueryDef("q21_last_shippers", q21_last_shippers, Q21_ORACLE),
+    QueryDef("q19_discounted_revenue", q19_discounted_revenue, Q19_ORACLE),
+    QueryDef("events_funnel_timeout", events_funnel_timeout, FUNNEL_TIMEOUT_ORACLE),
+    QueryDef("events_sequence_match", events_sequence_match, SEQUENCE_MATCH_ORACLE),
+    QueryDef("events_error_bursts", events_error_bursts, ERROR_BURSTS_ORACLE),
 ]

@@ -15,7 +15,7 @@ from apd_map_reduce_spark.operators.behavior import (
     user_behavior_features,
 )
 from apd_map_reduce_spark.operators.asof import ASOF_ORACLE, asof_last_order
-from apd_map_reduce_spark.operators.components import dup_groups
+from apd_map_reduce_spark.operators.components import DUP_GROUPS_ORACLE, dup_groups
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
@@ -54,13 +54,14 @@ BEHAVIOR_QUERIES = [
         ),
         ASOF_ORACLE,
     ),
-    # Iterative label propagation — no SQL twin (driver records
-    # rows-only; tests/test_components.py checks against a Python
-    # union-find reference).
+    # Iterative label propagation on the Spark side; the fixpoint has a
+    # recursive-CTE twin, so this is hash-checked like everything else
+    # (tests/test_components.py additionally checks a Python union-find
+    # reference).
     QueryDef(
         "dedup_transitive_groups",
         lambda s, d: dup_groups(load_table(s, d, "documents")),
-        None,
+        DUP_GROUPS_ORACLE,
     ),
 ]
 

@@ -28,6 +28,17 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table as a DataFrame.
+
+    SESSION-WIDE SIDE EFFECT when ``name == "events"``: sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+    session and does NOT restore it (the conf is read at scan
+    execution, so restoring before the action would re-break the
+    read). After the first events load, any other TIMESTAMP(NANOS)
+    parquet read in the same session also returns bigint nanos
+    instead of erroring — apply the same ``timestamp_micros(ts div
+    1000)`` normalization used below if you read such files directly.
+    """
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
         # (PARQUET_TYPE_ILLEGAL) unless this runtime SQLConf is on. The

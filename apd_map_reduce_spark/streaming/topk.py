@@ -15,15 +15,25 @@ can re-rank from changed rows alone; ``prune_store`` drops windows the
 caller knows are final, mirroring the watermark eviction on the
 serving side.
 
-Here the sink is an in-memory dict keyed by window (tests + local dev);
-swap `_upsert` for a JDBC/Delta MERGE at scale — foreachBatch hands you
-the same micro-batch DataFrame either way.
+Two sinks, same stream:
+
+* `streaming_topk_event_types` — in-memory dict store. TEST/DEV ONLY:
+  `_upsert` collects each micro-batch to the driver and keeps the whole
+  serving state in driver memory. Bounded per batch by update-mode, but
+  not a production shape.
+* `streaming_topk_to_parquet` — the production shape: foreachBatch
+  MERGEs changed rows into a parquet store partitioned by hour
+  (read-affected-partitions → anti-join → union → dynamic partition
+  overwrite rewrites only those partitions, executor-side, no driver
+  materialization). On a Delta/Iceberg table the same callback is a
+  one-statement MERGE INTO.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 TOP_K = 3
 
@@ -56,15 +66,64 @@ def prune_store(before_hour: str) -> None:
 
 def _upsert(batch_df: DataFrame, batch_id: int) -> None:
     # Update mode: only changed (hour, event_type) rows arrive — bounded
-    # by the batch's own update footprint, not total history.
+    # by the batch's own update footprint, not total history. The
+    # collect() makes this sink TEST/DEV ONLY (driver-side store);
+    # `parquet_merge_sink` below is the distributed equivalent.
     for r in batch_df.collect():
         _COUNT_STORE.setdefault(r.hour, {})[r.event_type] = r.n_events
 
 
-def streaming_topk_event_types(events: DataFrame, watermark: str = "2 hours"):
-    """Returns a started StreamingQuery maintaining the per-hour top-k
-    event types in the serving store. Caller awaits termination."""
-    agg = (
+def parquet_merge_sink(store_path: str):
+    """foreachBatch callback that MERGEs changed (hour, event_type,
+    n_events) rows into a parquet store partitioned by hour.
+
+    MERGE via dynamic partition overwrite: keep the affected hours'
+    rows that the batch did NOT change (anti-join), union the batch
+    rows, rewrite ONLY those hour partitions (untouched hours' files
+    are left in place). Everything runs executor-side; the
+    localCheckpoint materializes the merged rows BEFORE the overwrite
+    deletes the files they were read from. Sets
+    partitionOverwriteMode=dynamic on the session (session-wide, like
+    any sink that needs it)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # Partition-column type inference reads `hour` back as a
+            # timestamp; normalize to the canonical string so joins and
+            # the union against the batch rows stay type-stable.
+            existing = spark.read.parquet(store_path).withColumn(
+                "hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")
+            )
+            keep = existing.join(
+                batch_df.select("hour").distinct(), "hour", "left_semi"
+            ).join(batch_df.select("hour", "event_type"), ["hour", "event_type"], "left_anti")
+            merged = keep.unionByName(batch_df).localCheckpoint()
+        except AnalysisException:  # first batch: store doesn't exist yet
+            merged = batch_df
+        merged.write.mode("overwrite").partitionBy("hour").parquet(store_path)
+
+    return _merge
+
+
+def topk_from_store(spark: SparkSession, store_path: str, k: int = TOP_K) -> DataFrame:
+    """Serving query over the parquet store: per-hour top-k event types
+    (partition-local window, prunes to requested hours if filtered)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        spark.read.parquet(store_path)
+        .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def _hourly_counts(events: DataFrame, watermark: str) -> DataFrame:
+    return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -74,8 +133,30 @@ def streaming_topk_event_types(events: DataFrame, watermark: str = "2 hours"):
             "n_events",
         )
     )
+
+
+def streaming_topk_event_types(events: DataFrame, watermark: str = "2 hours"):
+    """Returns a started StreamingQuery maintaining the per-hour top-k
+    event types in the in-memory serving store (TEST/DEV sink — see
+    module docstring). Caller awaits termination."""
     return (
-        agg.writeStream.foreachBatch(_upsert)
+        _hourly_counts(events, watermark)
+        .writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_topk_to_parquet(
+    events: DataFrame, store_path: str, watermark: str = "2 hours"
+):
+    """Same stream, production-shaped sink: MERGE changed rows into a
+    parquet store partitioned by hour; serve with `topk_from_store`.
+    Returns a started StreamingQuery; caller awaits termination."""
+    return (
+        _hourly_counts(events, watermark)
+        .writeStream.foreachBatch(parquet_merge_sink(store_path))
         .outputMode("update")
         .trigger(availableNow=True)
         .start()

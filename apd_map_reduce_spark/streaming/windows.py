@@ -87,7 +87,27 @@ def run_to_memory(
     stateful operators, and it lets the watermark actually evict state;
     pass "complete" explicitly only for a single aggregation you want
     re-emitted in full each batch.
+
+    Append-mode caveat for aggregations: a window is emitted only once
+    the final watermark passes it, so under availableNow the TAIL
+    windows (those the last watermark hasn't closed) are absent from
+    the sink — e.g. draining `hourly_event_counts` in append mode
+    yields every hour except the last `watermark` horizon. That is
+    correct streaming semantics, not data loss; use "complete" when a
+    test needs every window materialized. An unwatermarked aggregation
+    cannot run in append mode at all (raises below with a clearer
+    message than Spark's AnalysisException).
     """
+    if output_mode == "append" and stream_df.isStreaming:
+        has_agg = "Aggregate" in stream_df._jdf.queryExecution().logical().toString()
+        has_watermark = "EventTimeWatermark" in stream_df._jdf.queryExecution().logical().toString()
+        if has_agg and not has_watermark:
+            raise ValueError(
+                "append-mode drain of a streaming aggregation requires a "
+                "watermark (withWatermark before groupBy); without one no "
+                "window is ever final and Spark rejects the plan. Pass "
+                "output_mode='complete' or add a watermark."
+            )
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)

@@ -70,3 +70,30 @@ def test_approx_percentile_within_accuracy_of_exact(spark):
         em, ep = exact[flag]
         assert abs(am - em) / em < 0.01, f"{flag} median: approx={am} exact={em}"
         assert abs(ap - ep) / ep < 0.01, f"{flag} p99: approx={ap} exact={ep}"
+
+
+def test_approx_distinct_within_accuracy_of_exact(spark):
+    """The HLL sketch (rows-only in the driver) must land within its
+    configured accuracy of the exact distinct count: rsd=0.01 means 1%
+    relative standard deviation, so 5% (5 sigma) is a deterministic-in-
+    practice bound per group."""
+    import pyspark.sql.functions as F
+
+    from apd_map_reduce_spark.queries.relational import approx_distinct_users
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    approx = {
+        r.event_type: int(r.approx_users)
+        for r in approx_distinct_users(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: int(r.n)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, a in approx.items():
+        e = exact[etype]
+        assert abs(a - e) / e < 0.05, f"{etype}: approx={a} exact={e}"

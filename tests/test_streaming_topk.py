@@ -115,3 +115,55 @@ def test_streaming_topk_state_is_bounded_by_watermark(spark, tmp_path):
 
     prune_store("2024-01-01 20:00:00")
     assert len(snapshot_store()) == 4
+
+
+def test_streaming_topk_parquet_merge_sink_matches_batch(spark, tmp_path):
+    """The production-shaped sink (foreachBatch MERGE into a
+    hour-partitioned parquet store) must serve the same top-k as the
+    batch ranking, across multiple micro-batches (so the MERGE path
+    that reads+rewrites affected partitions actually executes)."""
+    from apd_map_reduce_spark.streaming.topk import (
+        streaming_topk_to_parquet,
+        topk_from_store,
+    )
+
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    # Split the events into two time-ordered files → two micro-batches,
+    # so the second batch exercises the read-affected-partitions MERGE
+    # path (not just the first-batch bootstrap branch).
+    ev = load_table(spark, SF_SMOKE, "events").orderBy("ts", "event_id").cache()
+    n = ev.count()
+    d = str(tmp_path / "ev")
+    ev.limit(n // 2).coalesce(1).write.parquet(d + "/h1")
+    ev.subtract(ev.limit(n // 2)).coalesce(1).write.parquet(d + "/h2")
+    import glob as g
+
+    os.makedirs(d + "/in")
+    for i, src in enumerate(sorted(g.glob(d + "/h*/part-*.parquet"))):
+        dst = os.path.join(d, "in", f"batch{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+    ev.unpersist()
+
+    store = str(tmp_path / "store")
+    stream = read_events_stream(
+        spark, d + "/in", events_stream_schema(spark, d + "/in/batch0.parquet"),
+        max_files_per_trigger=1,
+    )
+    q = streaming_topk_to_parquet(stream, store)
+    q.awaitTermination()
+
+    got = {
+        (r.hour, r.event_type, r.n_events)
+        for r in topk_from_store(spark, store).collect()
+    }
+    w = Window.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("event_type"))
+    want = {
+        (r.hour, r.event_type, r.n_events)
+        for r in events_hourly(spark, SF_SMOKE)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .collect()
+    }
+    assert got == want
