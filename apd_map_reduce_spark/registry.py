@@ -17,6 +17,7 @@ from apd_map_reduce_spark.operators.behavior import (
 from apd_map_reduce_spark.operators.asof import ASOF_ORACLE, asof_last_order
 from apd_map_reduce_spark.operators.components import DUP_GROUPS_ORACLE, dup_groups
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
+from apd_map_reduce_spark.operators.curation import CURATION_QUERIES
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
@@ -74,6 +75,7 @@ ALL_QUERIES: list[QueryDef] = (
     + MULTIMODAL_QUERIES
     + PIPELINE_QUERIES
     + BEHAVIOR_QUERIES
+    + CURATION_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}

@@ -28,10 +28,18 @@ spark = get_spark(app_name="speedup", master="local[" + sys.argv[1] + "]",
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = sys.argv[2]
 spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()  # warmup
-t0 = time.time()
-for q in headline_queries():
-    q.fn(spark, sf_dir).count()
-print("ELAPSED_JSON " + json.dumps({"elapsed": time.time() - t0}))
+# min of 2 timed loops: single-loop wall time on a shared box swings
+# +/-20% (GC, page cache); min-of-N is the standard noise floor and is
+# applied IDENTICALLY to the sequential baseline and every parallel
+# config, so ratios stay honest.
+elapsed = []
+for _ in range(2):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    for q in headline_queries():
+        q.fn(spark, sf_dir).count()
+    elapsed.append(time.time() - t0)
+print("ELAPSED_JSON " + json.dumps({"elapsed": min(elapsed)}))
 """
 
 

@@ -46,6 +46,22 @@ def test_q3_broadcasts_customer_dim(spark):
     assert uses_broadcast_join(df), "filtered customer dim must broadcast"
 
 
+def test_q19_disjunction_pushes_residues_and_broadcasts(spark):
+    """The OR-of-brackets predicate must not force full scans: the
+    part-side residue (p_brand IN/p_size bounds) and the lineitem-side
+    residue (l_quantity/l_discount bounds) each reach their scan, and
+    the filtered part side broadcasts."""
+    from apd_map_reduce_spark.queries.relational import q19_discounted_revenue
+
+    df = q19_discounted_revenue(spark, SF_SMOKE)
+    assert has_pushed_filter(df, "p_brand"), "part-side OR residue must reach the part scan"
+    assert has_pushed_filter(df, "l_discount"), "discount bounds must reach the lineitem scan"
+    assert has_pushed_filter(df, "l_quantity"), "quantity residue must reach the lineitem scan"
+    assert uses_broadcast_join(df), "filtered part side must broadcast"
+    cols = read_schema_columns(df)
+    assert "l_shipdate" not in cols, "unused lineitem columns must be pruned"
+
+
 def test_projection_prunes_scan(spark):
     df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     cols = read_schema_columns(df)
