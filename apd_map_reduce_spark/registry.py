@@ -19,6 +19,9 @@ from apd_map_reduce_spark.operators.components import DUP_GROUPS_ORACLE, dup_gro
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
 from apd_map_reduce_spark.operators.curation import CURATION_QUERIES
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
+from apd_map_reduce_spark.operators.pii import PII_QUERIES
+from apd_map_reduce_spark.operators.quality import QUALITY_QUERIES
+from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
 from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
@@ -76,6 +79,9 @@ ALL_QUERIES: list[QueryDef] = (
     + PIPELINE_QUERIES
     + BEHAVIOR_QUERIES
     + CURATION_QUERIES
+    + QUALITY_QUERIES
+    + PII_QUERIES
+    + VECTOR_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}

@@ -1,0 +1,86 @@
+"""Unit tests for the quality / PII / vector operator families beyond
+the registry-wide oracle parity (tests/test_oracle_parity.py covers the
+registered queries end-to-end; these pin edge cases and the generic
+redaction API on synthetic rows)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.operators.pii import redact_sql, redact_text
+from apd_map_reduce_spark.operators.quality import max_run_length, repetition_signals
+from apd_map_reduce_spark.operators.vectors import label_centroids, quantize_int8
+
+REDACT_ROWS = [
+    (1, "contact john.doe+x@mail-svc.co.uk or admin@x.io now"),
+    (2, "server at 192.168.0.1 and 10.0.0.255 ping"),
+    (3, "call +1 415-555-0199 or +44 20 7946 0958 today"),
+    (4, "clean text no pii at all"),
+    (5, ""),
+]
+
+
+def test_redact_text_matches_duckdb_twin(spark):
+    df = spark.createDataFrame(REDACT_ROWS, ["id", "s"])
+    got = {
+        r["id"]: r["red"]
+        for r in df.select("id", redact_text("s").alias("red")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", REDACT_ROWS)
+    want = dict(con.execute(f"SELECT id, {redact_sql('s')} FROM t").fetchall())
+    assert got == want
+    assert "<EMAIL>" in got[1] and "@" not in got[1]
+    assert got[2].count("<IP>") == 2
+    assert got[3].count("<PHONE>") == 2
+    assert got[4] == REDACT_ROWS[3][1]
+
+
+def test_max_run_length_edges(spark):
+    rows = [
+        (1, ["a", "a", "a", "b"]),
+        (2, ["a"]),
+        (3, []),
+        (4, ["a", "b", "b", "b", "b", "c", "c"]),
+    ]
+    df = spark.createDataFrame(rows, "id: long, arr: array<string>")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", max_run_length(F.array_sort("arr")).alias("m")).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0, 4: 4}
+
+
+def test_repetition_signals_degenerate_doc(spark):
+    # A pure repetition loop must stand out: top_bigram_frac -> 1.
+    rows = [(1, "spam spam spam spam spam spam"), (2, "one two three four five six")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_distinct"] == 1
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["distinct_token_ratio"] == 1.0 and out[2]["top_bigram_n"] == 1
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    rows = [(1, [1.0, -2.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+    # max|x|=2 -> scale=2/127; x=1.0 quantizes to round(63.5)=64, x=-2.0 to -127.
+    assert out[1]["q_l1"] == 127 + 64 + 32
+    assert out[1]["q_sum"] == -127 + 64 + 32
+    # all-zero vector: MIN_SCALE floor keeps it finite and all-zero.
+    assert out[2]["q_sum"] == 0 and out[2]["q_l1"] == 0
+
+
+def test_label_centroids_exact_integer_sums(spark):
+    rows = [(1, [1.5, -0.25], 7), (2, [0.5, 0.75], 7), (3, [2.0, 1.0], 8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    out = {
+        (r["label"], r["pos"]): (r["n_vecs"], r["sum_micro"])
+        for r in label_centroids(df).collect()
+    }
+    assert out[(7, 1)] == (2, 2_000_000)  # floor(1.5e6) + floor(0.5e6)
+    assert out[(7, 2)] == (2, -250_000 + 750_000)
+    assert out[(8, 1)] == (1, 2_000_000)
