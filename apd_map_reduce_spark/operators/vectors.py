@@ -114,6 +114,101 @@ FROM e GROUP BY 1, 2
 """
 
 
+N_QUERIES = 10  # probe convention shared with operators/similarity
+TOP_K = 5
+
+
+def _quantized_with_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, q ARRAY<BIGINT>, qn2 = Σq² BIGINT) — the compressed
+    search relation. Scales cancel out of quantized cosine, so they are
+    not carried."""
+    arr = _dvec("embedding")
+    amax = F.array_max(F.transform(arr, lambda x: F.abs(x)))
+    scale = F.greatest(amax, F.lit(MIN_SCALE)) / F.lit(127.0)
+    q = F.transform(
+        arr, lambda x: (F.floor(F.abs(x) / scale + F.lit(0.5)) * F.signum(x)).cast("long")
+    )
+    qn2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    return emb.select("vec_id", q.alias("q"), qn2.alias("qn2"))
+
+
+def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Top-k neighbors by QUANTIZED cosine: cos_q = Σ qa·qb /
+    (√Σqa² · √Σqb²). The per-vector scale factors cancel, so the score
+    is a pure function of the int8 codes — numerator and both norms are
+    exact BIGINT aggregates, making the score deterministic across
+    engines (one double division + sqrt on identical integers), unlike
+    float-accumulated cosine.
+
+    The 100 TB story: the search relation is int8 codes — 4× smaller
+    than float32, 8× smaller than the double-cast scan the exact path
+    reads, which is the difference between a corpus that fits executor
+    memory and one that spills. Probe side broadcasts (|Q| small);
+    work is O(|Q|·N) over integer multiplies. Recall vs exact cosine is
+    bounds-tested in tests/test_quality_pii_vectors.py."""
+    from pyspark.sql.window import Window
+
+    qrel = _quantized_with_norm(emb)
+    probes = qrel.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("qn2").alias("na")
+    )
+    corpus = qrel.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("qn2").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "qcos",
+        F.round(dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "qcos")
+    )
+
+
+INT8_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+s AS (
+  SELECT vec_id, arr,
+         greatest(list_max(list_transform(arr, x -> abs(x))), {MIN_SCALE}) / 127.0 AS scale
+  FROM e
+),
+qrel AS (
+  SELECT vec_id,
+         list_transform(arr, x -> (floor(abs(x) / scale + 0.5) * sign(x))::BIGINT) AS q
+  FROM s
+),
+qn AS (
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x))::BIGINT AS qn2 FROM qrel
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(p.q)),
+                                   i -> p.q[i] * c.q[i]))::BIGINT
+           / (sqrt(p.qn2) * sqrt(c.qn2)), 6) AS qcos
+  FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+  WHERE p.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qcos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT query_id, rnk::BIGINT AS rnk, neighbor_id, qcos
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
@@ -121,4 +216,5 @@ def _emb(spark, sf_dir):
 VECTOR_QUERIES = [
     QueryDef("embedding_quantize_int8", lambda s, d: quantize_int8(_emb(s, d)), QUANTIZE_ORACLE),
     QueryDef("embedding_label_centroids", lambda s, d: label_centroids(_emb(s, d)), CENTROIDS_ORACLE),
+    QueryDef("ann_int8_topk", lambda s, d: int8_cosine_topk(_emb(s, d)), INT8_TOPK_ORACLE),
 ]

@@ -74,6 +74,55 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert out[2]["q_sum"] == 0 and out[2]["q_l1"] == 0
 
 
+def test_int8_topk_recall_against_exact_cosine(spark):
+    """Quantized cosine is an approximation — bound its recall@5
+    against the exact float path (same pattern as the HLL/percentile
+    sketch bounds tests)."""
+    from apd_map_reduce_spark.operators.similarity import cosine_topk
+    from apd_map_reduce_spark.operators.vectors import int8_cosine_topk
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in int8_cosine_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8 recall@5 degraded: {recall:.2f}"
+
+
+def test_new_families_are_shuffle_free_and_pruned(spark):
+    """quality/pii/quantize are per-row projections: no Exchange in the
+    plan, scans pruned to the used columns — the scan-speed contract
+    their docstrings claim."""
+    from apd_map_reduce_spark.operators.pii import pseudonymize_events
+    from apd_map_reduce_spark.operators.vectors import quantize_int8
+    from apd_map_reduce_spark.plans.quality import formatted_plan, read_schema_columns
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    cases = [
+        (repetition_signals(load_table(spark, SF_SMOKE, "documents")),
+         {"present": ["doc_id", "text"], "absent": ["lang", "source"]}),
+        (pseudonymize_events(load_table(spark, SF_SMOKE, "events")),
+         {"present": ["event_id", "user_id", "props"], "absent": ["event_type", "value"]}),
+        (quantize_int8(load_table(spark, SF_SMOKE, "embeddings")),
+         {"present": ["vec_id", "embedding"], "absent": ["label"]}),
+    ]
+    for df, expect in cases:
+        assert "Exchange" not in formatted_plan(df), "per-row operator must not shuffle"
+        cols = read_schema_columns(df)
+        for c in expect["present"]:
+            assert c in cols
+        for c in expect["absent"]:
+            assert c not in cols, f"unused column {c} must be pruned"
+
+
 def test_label_centroids_exact_integer_sums(spark):
     rows = [(1, [1.5, -0.25], 7), (2, [0.5, 0.75], 7), (3, [2.0, 1.0], 8)]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
