@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 from apd_map_reduce_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     _SHINGLES_CTE,
+    _TOKENS_SQL,
     doc_shingle_hashes,
     hash60,
+    normalized_tokens,
     stop_shingle_filter,
 )
 from apd_map_reduce_spark.queries.base import QueryDef
@@ -142,6 +144,129 @@ GROUP BY 1, 2
 """
 
 
+CHUNK_TOKENS = 32
+SHARD_TOKENS = 2048
+# Mixture rebalance rates in millionths (integer thresholds — no float
+# compare): downsample dominant English, quality-downsample zh,
+# keep the rest. In production these arrive as config per source/lang.
+MIX_RATES_PPM = {"en": 500_000, "zh": 250_000}
+MIX_DEFAULT_PPM = 1_000_000
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Fixed-size token chunking — the doc→training-sequence explode
+    every pretraining pipeline runs. Emits (doc_id, chunk_idx 1-based,
+    n_chunk_tokens, chunk_md5); the md5 stands in for the chunk text so
+    the checked result stays narrow (the text itself is
+    ``array_join(slice(...))`` — same expression minus the hash).
+
+    Scale: pure per-row explode — no shuffle; output rows ≈ tokens/C,
+    so the operator is scan-bound and embarrassingly parallel."""
+    toks = normalized_tokens()
+    df = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") > 0)
+    n_chunks = F.ceil(F.size("ts") / F.lit(float(chunk_tokens))).cast("int")
+    chunk = F.slice(F.col("ts"), F.col("ci") * chunk_tokens + 1, chunk_tokens)
+    return (
+        df.select("doc_id", "ts", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"))
+        .select(
+            "doc_id",
+            (F.col("ci") + 1).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+CHUNKS_ORACLE = f"""
+WITH toksq AS (SELECT doc_id, {{tokens_sql}} AS ts FROM documents),
+nz AS (SELECT doc_id, ts FROM toksq WHERE len(ts) > 0),
+c AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(0, ceil(len(ts) / {CHUNK_TOKENS}.0)::INT - 1)) AS ci
+  FROM nz
+)
+SELECT doc_id, (ci + 1)::BIGINT AS chunk_idx,
+       len(list_slice(ts, ci * {CHUNK_TOKENS} + 1, ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}))::BIGINT
+         AS n_chunk_tokens,
+       md5(array_to_string(
+         list_slice(ts, ci * {CHUNK_TOKENS} + 1, ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM c
+"""
+
+
+def pack_token_shards(docs: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
+    """Offset-based shard packing: docs are laid out in doc_id order
+    inside each language and a doc belongs to the shard its cumulative
+    start offset falls in (floor(cum_before / budget)) — the standard
+    "concatenate then cut every B tokens" sharding, at doc granularity.
+
+    Scale: the running sum is PARTITIONED by lang (a per-language shard
+    layout is what a curriculum/mixture loader wants anyway) — no
+    global unpartitioned window, which would serialize 100 TB through
+    one task. Returns per-shard stats, not per-doc rows."""
+    from pyspark.sql.window import Window
+
+    counts = docs.select(
+        "lang", "doc_id", F.size(normalized_tokens()).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        counts.withColumn("shard_id", F.floor(cum_before / budget).cast("long"))
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_packed"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+SHARDS_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, doc_id, len({{tokens_sql}})::BIGINT AS n_tokens FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM counts
+)
+SELECT lang, (cum_before // {SHARD_TOKENS})::BIGINT AS shard_id,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens_packed,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cum GROUP BY 1, 2
+"""
+
+
+def mixture_rebalance(docs: DataFrame) -> DataFrame:
+    """Deterministic weighted mixture sampling: keep a doc iff
+    hash60('mix:'||doc_id) mod 1e6 falls under its language's rate —
+    a pure function of (doc_id, lang), so the mixture is reproducible
+    across runs, engines, and repartitioning (no RNG, no sample()).
+    Emits the surviving (doc_id, lang) rows."""
+    key = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1_000_000
+    rate = F.lit(MIX_DEFAULT_PPM)
+    for lang, ppm in sorted(MIX_RATES_PPM.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(ppm)).otherwise(rate)
+    return docs.filter(key < rate).select("doc_id", "lang")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {ppm}" for lang, ppm in sorted(MIX_RATES_PPM.items())
+)
+MIXTURE_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      < (CASE lang {_MIX_CASE} ELSE {MIX_DEFAULT_PPM} END)
+"""
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -161,5 +286,20 @@ CURATION_QUERIES = [
         "benchmark_contamination",
         lambda s, d: benchmark_contamination(_docs(s, d)),
         CONTAMINATION_ORACLE,
+    ),
+    QueryDef(
+        "doc_chunk_sequences",
+        lambda s, d: chunk_documents(_docs(s, d)),
+        CHUNKS_ORACLE.format(tokens_sql=_TOKENS_SQL),
+    ),
+    QueryDef(
+        "pack_token_shards",
+        lambda s, d: pack_token_shards(_docs(s, d)),
+        SHARDS_ORACLE.format(tokens_sql=_TOKENS_SQL),
+    ),
+    QueryDef(
+        "mixture_rebalance",
+        lambda s, d: mixture_rebalance(_docs(s, d)),
+        MIXTURE_ORACLE,
     ),
 ]
