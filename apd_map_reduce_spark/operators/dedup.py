@@ -199,13 +199,17 @@ def ngram_jaccard_pairs(
     `max_df` documents (boilerplate) does not appear. The oracle mirrors
     the filter, so parity holds at any scale.
 
-    The RAW shingle relation is cached once: the df aggregation that
-    finds stop-shingles materializes it, and the anti-join, per-doc
-    counts, and both self-join sides then read memory instead of
-    re-shingling (shingling is the CPU-bound stage — recomputing it per
-    consumer doubled this query's cost)."""
+    Two cache points, both load-bearing (measured at sf0.1, noop
+    protocol): the RAW shingle relation is cached so the stop-shingle
+    df aggregation doesn't force a second shingling pass (shingling is
+    the CPU-bound stage), and the FILTERED relation is cached so the
+    broadcast anti-join runs once instead of once per consumer (three
+    consumers: per-doc counts + both self-join sides — re-evaluating it
+    cost ~1 s of the query's ~3.4 s). Both caches are MEMORY_AND_DISK,
+    so at cluster scale they spill rather than OOM; the filtered cache
+    is strictly smaller than the raw one."""
     raw = doc_shingle_hashes(docs).cache()
-    sh = stop_shingle_filter(raw, max_df=max_df)
+    sh = stop_shingle_filter(raw, max_df=max_df).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
