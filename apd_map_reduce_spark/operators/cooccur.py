@@ -1,0 +1,313 @@
+"""Token co-occurrence, positional indexing, and TF-IDF term weighting.
+
+The classic MapReduce "pairs" pattern (word co-occurrence counts / PMI)
+and the positional extension of the reference's inverted index
+(tema1a/src/main.cpp builds word -> {file_id} sets; these operators
+extend the same tokenize/normalize contract — P1/P2, SURVEY.md §2.2 —
+to word pairs, (doc, position) postings, and tf-idf weights).
+
+Scale design:
+  * Co-occurrence pairs are generated ARRAY-SIDE (per-row transform
+    over token positions, window offsets 1..W) — no positional
+    self-join, no shuffle until the (w1, w2) groupBy, and that
+    aggregation combines map-side (the "pairs" pattern's partial
+    combine). Row inflation is exactly n_tokens x W per doc, bounded.
+  * PMI needs two scalar totals (token count, pair count); both are
+    single-row aggregates over ALREADY-AGGREGATED tiny relations,
+    broadcast into the final projection — no second pass over the
+    corpus.
+  * The positional index groups by word — posting strings for frequent
+    words grow with the corpus (same caveat as the reference's
+    per-letter sink files, which this extends). For a 100 TB corpus,
+    cap or shard postings per word before collecting; the aggregation
+    itself stays a single keyed shuffle with map-side partial
+    collect_list.
+  * Phrase search is a pure scan: the consecutive-token test runs
+    array-side per document (higher-order filter over positions), so
+    the plan is scan -> filter -> project with zero shuffles.
+  * TF-IDF is two keyed aggregations (per-(doc,term) tf, per-term df)
+    plus a broadcast scalar N; the per-doc top-k is one window pass
+    partitioned by doc_id — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL, normalized_tokens
+from apd_map_reduce_spark.plans.layout import spread
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+COOCCUR_WINDOW = 2  # pair tokens with the next 1..W positions
+MIN_PAIR_COUNT = 5  # drop noise pairs (and bound PMI output size)
+TFIDF_TOP_K = 5
+PHRASE = ("slow", "hash", "batch")  # 3-gram present across test SFs
+
+
+def _positions(n_expr: Column) -> Column:
+    """sequence(1, n) that is EMPTY when n < 1 (Spark's sequence(1, 0)
+    is the descending [1, 0] — a silent wrong-answer trap)."""
+    return F.when(
+        n_expr >= 1, F.sequence(F.lit(1), n_expr)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _tokens_rel(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts) with ts = P1/P2-normalized token array."""
+    return spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+
+
+def _offset_pairs(j: int) -> Column:
+    """Unordered (w1<=w2) token pairs at position offset exactly j,
+    built by zipping the array with its own j-shifted slice — no
+    per-element index arithmetic (a two-parameter lambda would be
+    silently bound to (element, index) by transform())."""
+    n = F.size("ts")
+    return F.when(
+        n > j,
+        F.zip_with(
+            F.slice("ts", 1, n - F.lit(j)),
+            F.slice("ts", F.lit(j + 1), n - F.lit(j)),
+            lambda x, y: F.struct(
+                F.least(x, y).alias("w1"), F.greatest(x, y).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def cooccurrence_counts(docs: DataFrame, window: int = COOCCUR_WINDOW) -> DataFrame:
+    """(w1, w2, pair_count) for unordered token pairs within +-window
+    positions; w1 <= w2 lexicographically so each pair has one key."""
+    toks = _tokens_rel(docs)
+    pair_arrays = [_offset_pairs(j) for j in range(1, window + 1)]
+    return (
+        toks.select(F.explode(F.concat(*pair_arrays)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    window: int = COOCCUR_WINDOW,
+    min_count: int = MIN_PAIR_COUNT,
+) -> DataFrame:
+    """Pointwise mutual information per co-occurring pair:
+    pmi = ln( p(w1,w2) / (p(w1) p(w2)) ) with pair probabilities over
+    the windowed-pair multiset and unigram probabilities over tokens.
+
+    Both totals broadcast (single-row aggregates of tiny relations);
+    the expression sequence is identical in the oracle, so the double
+    arithmetic is bit-reproducible across engines (base.py rules)."""
+    pairs = cooccurrence_counts(docs, window=window).filter(
+        F.col("pair_count") >= min_count
+    )
+    uni = (
+        _tokens_rel(docs)
+        .select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    # Unfiltered pair total: probabilities are over the full pair
+    # multiset, not the min_count-filtered one (oracle mirrors).
+    all_pairs = cooccurrence_counts(docs, window=window)
+    c_pair = all_pairs.agg(F.sum("pair_count").alias("c_pair"))
+    c_tok = uni.agg(F.sum("token_count").alias("c_tok"))
+    ua = uni.select(F.col("token").alias("w1"), F.col("token_count").alias("c_a"))
+    ub = uni.select(F.col("token").alias("w2"), F.col("token_count").alias("c_b"))
+    p_ab = F.col("pair_count").cast("double") / F.col("c_pair")
+    p_a = F.col("c_a").cast("double") / F.col("c_tok")
+    p_b = F.col("c_b").cast("double") / F.col("c_tok")
+    return (
+        pairs.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(c_pair))
+        .crossJoin(F.broadcast(c_tok))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
+        )
+    )
+
+
+_PMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+offsets AS (SELECT unnest(generate_series(1, {COOCCUR_WINDOW})) AS j),
+pidx AS (
+  SELECT ts, j, unnest(generate_series(1, greatest(len(ts) - j, 0))) AS i
+  FROM toks, offsets
+),
+allpairs AS (
+  SELECT least(ts[i], ts[i+j]) AS w1, greatest(ts[i], ts[i+j]) AS w2,
+         COUNT(*) AS pair_count
+  FROM pidx GROUP BY 1, 2
+),
+uni AS (
+  SELECT unnest(ts) AS token FROM toks
+),
+unic AS (SELECT token, COUNT(*) AS token_count FROM uni GROUP BY token),
+tot AS (
+  SELECT (SELECT SUM(pair_count) FROM allpairs) AS c_pair,
+         (SELECT SUM(token_count) FROM unic) AS c_tok
+)
+SELECT p.w1, p.w2, p.pair_count,
+       ROUND(ln((p.pair_count::DOUBLE / t.c_pair)
+                / ((a.token_count::DOUBLE / t.c_tok)
+                   * (b.token_count::DOUBLE / t.c_tok))), 6) AS pmi
+FROM allpairs p
+JOIN unic a ON a.token = p.w1
+JOIN unic b ON b.token = p.w2
+CROSS JOIN tot t
+WHERE p.pair_count >= {MIN_PAIR_COUNT}
+"""
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...] = PHRASE) -> DataFrame:
+    """Documents containing `phrase` as consecutive normalized tokens:
+    (doc_id, n_hits, first_pos). Pure array-side scan — no shuffle."""
+    n = len(phrase)
+    toks = _tokens_rel(docs)
+
+    def is_hit(i: Column) -> Column:
+        cond = None
+        for k, w in enumerate(phrase):
+            c = F.element_at("ts", i + F.lit(k)) == F.lit(w)
+            cond = c if cond is None else cond & c
+        return cond
+
+    hits = F.filter(_positions(F.size("ts") - (n - 1)), is_hit)
+    return (
+        toks.select(
+            "doc_id",
+            F.size(hits).cast("long").alias("n_hits"),
+            F.element_at(hits, 1).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def _phrase_oracle(phrase: tuple[str, ...] = PHRASE) -> str:
+    n = len(phrase)
+    cond = " AND ".join(
+        f"ts[i+{k}] = '{w}'" for k, w in enumerate(phrase)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+hits AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, greatest(len(ts) - {n - 1}, 0)),
+                     i -> {cond}) AS hs
+  FROM toks
+)
+SELECT doc_id, len(hs)::BIGINT AS n_hits, hs[1]::BIGINT AS first_pos
+FROM hits WHERE len(hs) > 0
+"""
+
+
+def positional_index(docs: DataFrame) -> DataFrame:
+    """Positional inverted index: (word, n_postings, postings) with
+    postings = "doc:pos,doc:pos,..." sorted by (doc_id, pos), 1-based
+    positions over the normalized token sequence — the reference's
+    word->{file_id} index extended with in-document positions."""
+    tok = _tokens_rel(docs).select(
+        "doc_id", F.posexplode("ts").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    posting = F.array_sort(F.collect_list(F.struct("doc_id", "pos")))
+    return tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.array_join(
+            F.transform(
+                posting,
+                lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+_POSITIONAL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks
+),
+tok AS (SELECT doc_id, i AS pos, ts[i] AS word FROM idx)
+SELECT word, COUNT(*) AS n_postings,
+       string_agg(doc_id::VARCHAR || ':' || pos::VARCHAR, ','
+                  ORDER BY doc_id, pos) AS postings
+FROM tok GROUP BY word
+"""
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf:
+    idf = round(ln((N+1)/(df+1)), 6), weight = round(tf * idf, 6).
+
+    idf is rounded BEFORE the tf multiply so the ranking key is a
+    deterministic function of the exact integer (tf, df, N) triple in
+    both engines; ties break on the term itself."""
+    tok = _tokens_rel(docs).select("doc_id", F.explode("ts").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    weighted = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("rank").cast("long").alias("rank"), "tfidf")
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ROUND(ln((nd.n_docs + 1)::DOUBLE / (dfr.df + 1)::DOUBLE), 6), 6) AS tfidf
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM weighted
+)
+SELECT doc_id, term, rank::BIGINT AS rank, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+COOCCUR_QUERIES = [
+    QueryDef("text_cooccurrence_pmi", lambda s, d: cooccurrence_pmi(_docs(s, d)), _PMI_ORACLE),
+    QueryDef("text_phrase_search", lambda s, d: phrase_search(_docs(s, d)), _phrase_oracle()),
+    QueryDef("text_positional_index", lambda s, d: positional_index(_docs(s, d)), _POSITIONAL_ORACLE),
+    QueryDef("text_tfidf_top_terms", lambda s, d: tfidf_top_terms(_docs(s, d)), _TFIDF_ORACLE),
+]

@@ -1,0 +1,124 @@
+"""Interval (range) join and time-dimension rollup over the event
+stream — the time-series operators a hypertable-style engine exposes.
+
+Scale design:
+  * The range join is BUCKETIZED: a time-window predicate
+    (0 < t_click - t_err <= W) never runs as a raw inequality join
+    (Spark would fall back to broadcast-nested-loop). Instead each
+    probe-side row is expanded to the <= 2 W-sized buckets its window
+    can touch, both sides shuffle on the (user_id, bucket) equi-key,
+    and the range predicate applies as a residual filter. Per-key
+    fan-out is bounded by per-user-per-window event density, not
+    corpus size; each matching pair appears exactly once because a
+    click lives in exactly one bucket.
+  * The rollup computes all grains in ONE pass (partial aggregation
+    per grouping set, map-side combined) — the continuous-aggregate
+    shape: never one scan per grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.queries.base import QueryDef, as_double, dec2
+from apd_map_reduce_spark.sources.tables import load_table
+
+WINDOW_US = 300_000_000  # 5 minutes, microseconds
+
+
+def error_click_window(events: DataFrame, window_us: int = WINDOW_US) -> DataFrame:
+    """Per error event: clicks by the same user within the next
+    `window_us` microseconds — (event_id, user_id, n_clicks_5m,
+    min_gap_us). Errors with no follow-up click keep n_clicks_5m = 0
+    and a NULL min_gap_us (the LEFT join preserves them)."""
+    base = events.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    errors = base.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us"
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("us").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+        F.expr(f"us div {window_us}").alias("c_bucket"),
+    )
+    # An error's (us, us + W] window spans at most 2 W-buckets.
+    probe = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"us div {window_us}"),
+                F.expr(f"us div {window_us} + 1"),
+            )
+        ),
+    )
+    joined = probe.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("c_us") > F.col("us"))
+        & (F.col("c_us") <= F.col("us") + F.lit(window_us)),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("click_id").alias("n_clicks_5m"),
+        F.min(F.col("c_us") - F.col("us")).alias("min_gap_us"),
+    )
+
+
+_ERROR_CLICK_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+errors AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT event_id AS click_id, user_id, us FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       COUNT(c.click_id) AS n_clicks_5m,
+       MIN(c.us - e.us) AS min_gap_us
+FROM errors e
+LEFT JOIN clicks c
+  ON c.user_id = e.user_id
+ AND c.us > e.us AND c.us <= e.us + {WINDOW_US}
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def events_time_rollup(events: DataFrame) -> DataFrame:
+    """Hour/day/grand-total event rollup in one pass:
+    ROLLUP(day, hour) -> {(day, hour), (day), ()} with counts and
+    exact-decimal value sums (the continuous-aggregate grains)."""
+    keyed = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+    return keyed.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_double(F.sum(dec2("value"))).alias("total_value"),
+    )
+
+
+_TIME_ROLLUP_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP(day, hour)
+"""
+
+
+INTERVAL_QUERIES = [
+    QueryDef(
+        "events_error_click_window",
+        lambda s, d: error_click_window(load_table(s, d, "events")),
+        _ERROR_CLICK_ORACLE,
+    ),
+    QueryDef(
+        "events_time_rollup",
+        lambda s, d: events_time_rollup(load_table(s, d, "events")),
+        _TIME_ROLLUP_ORACLE,
+    ),
+]

@@ -17,8 +17,10 @@ from apd_map_reduce_spark.operators.behavior import (
 from apd_map_reduce_spark.operators.asof import ASOF_ORACLE, asof_last_order
 from apd_map_reduce_spark.operators.components import DUP_GROUPS_ORACLE, dup_groups
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
+from apd_map_reduce_spark.operators.cooccur import COOCCUR_QUERIES
 from apd_map_reduce_spark.operators.curation import CURATION_QUERIES
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
+from apd_map_reduce_spark.operators.intervals import INTERVAL_QUERIES
 from apd_map_reduce_spark.operators.pii import PII_QUERIES
 from apd_map_reduce_spark.operators.quality import QUALITY_QUERIES
 from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
@@ -82,6 +84,8 @@ ALL_QUERIES: list[QueryDef] = (
     + QUALITY_QUERIES
     + PII_QUERIES
     + VECTOR_QUERIES
+    + COOCCUR_QUERIES
+    + INTERVAL_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}

@@ -1,0 +1,166 @@
+"""Behavior tests for the co-occurrence / positional-index / interval
+operators on synthetic inputs with hand-computed expectations (the
+sf0.001 oracle-parity rows for phrase search are trivially empty, so
+the logic is exercised here directly)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.operators.cooccur import (
+    cooccurrence_counts,
+    cooccurrence_pmi,
+    phrase_search,
+    positional_index,
+    tfidf_top_terms,
+)
+from apd_map_reduce_spark.operators.intervals import (
+    error_click_window,
+    events_time_rollup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cooccurrence_counts_window2(spark):
+    docs = _docs(spark, [(1, "a b c d")])
+    got = {
+        (r.w1, r.w2): r.pair_count
+        for r in cooccurrence_counts(docs, window=2).collect()
+    }
+    # offset 1: (a,b)(b,c)(c,d); offset 2: (a,c)(b,d)
+    assert got == {
+        ("a", "b"): 1,
+        ("b", "c"): 1,
+        ("c", "d"): 1,
+        ("a", "c"): 1,
+        ("b", "d"): 1,
+    }
+
+
+def test_cooccurrence_unordered_key_merges_directions(spark):
+    # "b a" at offset 1 must count into the same (a, b) key as "a b".
+    docs = _docs(spark, [(1, "a b"), (2, "b a")])
+    got = {
+        (r.w1, r.w2): r.pair_count
+        for r in cooccurrence_counts(docs, window=2).collect()
+    }
+    assert got == {("a", "b"): 2}
+
+
+def test_cooccurrence_short_and_empty_docs(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "x y")])
+    got = {
+        (r.w1, r.w2): r.pair_count
+        for r in cooccurrence_counts(docs, window=2).collect()
+    }
+    assert got == {("x", "y"): 1}
+
+
+def test_pmi_sign(spark):
+    # a and b always co-occur; a and c never do. PMI(a,b) > 0.
+    docs = _docs(spark, [(i, "a b") for i in range(10)] + [(99, "c c c")])
+    rows = cooccurrence_pmi(docs, min_count=1).collect()
+    pmi = {(r.w1, r.w2): r.pmi for r in rows}
+    assert ("a", "c") not in pmi
+    assert pmi[("a", "b")] > 0
+
+
+def test_phrase_search_positions_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "slow hash batch runs slow hash batch again"),
+            (2, "slow hash no batch here"),
+            (3, "prefix slow hash batch"),
+        ],
+    )
+    got = {r.doc_id: (r.n_hits, r.first_pos) for r in phrase_search(docs).collect()}
+    assert got == {1: (2, 1), 3: (1, 2)}
+
+
+def test_phrase_search_normalizes_like_reference(spark):
+    # P1 normalization strips punctuation/case before matching.
+    docs = _docs(spark, [(1, "Slow, HASH! batch?")])
+    got = phrase_search(docs).collect()
+    assert [(r.doc_id, r.n_hits, r.first_pos) for r in got] == [(1, 1, 1)]
+
+
+def test_positional_index_postings(spark):
+    docs = _docs(spark, [(1, "b a b"), (2, "a")])
+    got = {r.word: (r.n_postings, r.postings) for r in positional_index(docs).collect()}
+    assert got == {"a": (2, "1:2,2:1"), "b": (2, "1:1,1:3")}
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(
+        spark,
+        [(1, "common rare common"), (2, "common common"), (3, "common")],
+    )
+    rows = tfidf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in rows}
+    # Doc 1's distinguishing term is "rare" (df=1) despite tf("common")=2.
+    assert top[1] == "rare"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+def test_error_click_window_counts_and_gap(spark):
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    ev = _events(
+        spark,
+        [
+            (1, 7, "error", at(0), 0.0),
+            (2, 7, "click", at(10), 0.0),    # in window (gap 10s)
+            (3, 7, "click", at(299), 0.0),   # in window, crosses bucket
+            (4, 7, "click", at(301), 0.0),   # outside window
+            (5, 8, "click", at(5), 0.0),     # other user
+            (6, 9, "error", at(50), 0.0),    # no clicks at all
+        ],
+    )
+    got = {r.event_id: (r.n_clicks_5m, r.min_gap_us) for r in error_click_window(ev).collect()}
+    assert got == {1: (2, 10_000_000), 6: (0, None)}
+
+
+def test_error_click_window_no_duplicate_from_bucket_expansion(spark):
+    # A click in the SAME bucket as the error must be counted once even
+    # though the error probes two buckets.
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 1)
+    ev = _events(
+        spark,
+        [
+            (1, 1, "error", t0, 0.0),
+            (2, 1, "click", t0 + datetime.timedelta(seconds=1), 0.0),
+        ],
+    )
+    got = error_click_window(ev).collect()
+    assert [(r.event_id, r.n_clicks_5m) for r in got] == [(1, 1)]
+
+
+def test_events_time_rollup_grains(spark):
+    t = datetime.datetime(2024, 3, 1, 5, 30, 0)
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", t, 1.0),
+            (2, 1, "view", t + datetime.timedelta(hours=1), 2.0),
+            (3, 1, "view", t + datetime.timedelta(days=1), 4.0),
+        ],
+    )
+    rows = events_time_rollup(ev).collect()
+    by_key = {(r.day, r.hour): (r.n_events, r.total_value) for r in rows}
+    assert by_key[("2024-03-01", 5)] == (1, 1.0)
+    assert by_key[("2024-03-01", None)] == (2, 3.0)
+    assert by_key[(None, None)] == (3, 7.0)
