@@ -20,6 +20,7 @@ from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
 from apd_map_reduce_spark.operators.cooccur import COOCCUR_QUERIES
 from apd_map_reduce_spark.operators.curation import CURATION_QUERIES
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
+from apd_map_reduce_spark.operators.graph import GRAPH_QUERIES
 from apd_map_reduce_spark.operators.intervals import INTERVAL_QUERIES
 from apd_map_reduce_spark.operators.pii import PII_QUERIES
 from apd_map_reduce_spark.operators.quality import QUALITY_QUERIES
@@ -86,6 +87,7 @@ ALL_QUERIES: list[QueryDef] = (
     + VECTOR_QUERIES
     + COOCCUR_QUERIES
     + INTERVAL_QUERIES
+    + GRAPH_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
