@@ -101,6 +101,46 @@ SELECT lang, rnk, doc_id FROM ranked WHERE rnk <= {SAMPLE_K}
 """
 
 
+WEIGHTED_K = 50
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = WEIGHTED_K) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key = ln(u) / w with
+    u = hash-uniform in (0, 1) and weight w = n_chars + 1; the k
+    LARGEST keys are the sample, so longer documents are
+    proportionally more likely — but the draw is a pure function of
+    doc_id, reproducible across runs and engines (no RNG).
+
+    One global top-k: at scale this is a per-partition top-k followed
+    by a k-row merge (Spark's TakeOrderedAndProject), never a full
+    sort. The key is rounded to 9 decimals before ranking so both
+    engines rank an identical value (ties break on doc_id)."""
+    u = (hash60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))) + 1).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / (F.col("n_chars") + 1), 9)
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("n_chars") + 1).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars + 1 AS weight,
+       ROUND(ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+                / {float(1 << 60)}) / (n_chars + 1), 9) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
+
 def benchmark_contamination(
     docs: DataFrame, bench_mod: int = BENCH_MOD, max_df: int = MAX_SHINGLE_DF
 ) -> DataFrame:
@@ -286,6 +326,11 @@ CURATION_QUERIES = [
         "benchmark_contamination",
         lambda s, d: benchmark_contamination(_docs(s, d)),
         CONTAMINATION_ORACLE,
+    ),
+    QueryDef(
+        "weighted_sample_topk",
+        lambda s, d: weighted_sample_topk(_docs(s, d)),
+        WEIGHTED_SAMPLE_ORACLE,
     ),
     QueryDef(
         "doc_chunk_sequences",

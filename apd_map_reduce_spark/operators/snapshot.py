@@ -1,0 +1,86 @@
+"""Snapshot diff (change-data-capture primitive): given two versions
+of a keyed table, classify every key as added / removed / changed.
+
+The scale shape: both sides reduce to (key, content_hash) BEFORE the
+full-outer join, so the diff shuffles two narrow relations (16-byte
+digest per row) regardless of row width; unchanged keys are dropped
+by a post-join filter, so the output is proportional to the delta,
+not the table. This is the primitive behind incremental snapshot
+publishing (write only the delta partition) and SCD-style history
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, payload: str
+) -> DataFrame:
+    """(key, status) for every key whose payload changed between
+    snapshots; status in ('added', 'removed', 'changed')."""
+    o = old.select(F.col(key).alias("k"), F.md5(F.col(payload)).alias("oh"))
+    n = new.select(F.col(key).alias("k"), F.md5(F.col(payload)).alias("nh"))
+    oo, nn = o.alias("o"), n.alias("n")
+    joined = oo.join(nn, F.col("o.k") == F.col("n.k"), "full_outer")
+    status = (
+        F.when(F.col("o.k").isNull(), F.lit("added"))
+        .when(F.col("n.k").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias(key),
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+
+# Registry entry: derive two deterministic snapshots from `documents`
+# (the test data has no versioned table): the "old" snapshot is missing
+# every doc_id % 89 == 0 (these become adds), the "new" snapshot drops
+# doc_id % 101 == 0 (removes) and rewrites the text of doc_id % 53 == 0
+# (changes). Pure functions of doc_id — engine-identical.
+def _snapshot_diff_documents(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 89 != 0)
+    new = docs.filter(F.col("doc_id") % 101 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 53 == 0, F.concat(F.lit("v2 "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, key="doc_id", payload="text")
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id AS k, md5(text) AS oh FROM documents WHERE doc_id % 89 <> 0
+),
+new AS (
+  SELECT doc_id AS k,
+         md5(CASE WHEN doc_id % 53 = 0 THEN 'v2 ' || text ELSE text END) AS nh
+  FROM documents WHERE doc_id % 101 <> 0
+),
+j AS (
+  SELECT COALESCE(old.k, new.k) AS doc_id,
+         CASE WHEN old.k IS NULL THEN 'added'
+              WHEN new.k IS NULL THEN 'removed'
+              WHEN oh <> nh THEN 'changed' END AS status
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT doc_id, status FROM j WHERE status IS NOT NULL
+"""
+
+
+SNAPSHOT_QUERIES = [
+    QueryDef("snapshot_diff_documents", _snapshot_diff_documents, SNAPSHOT_DIFF_ORACLE),
+]

@@ -209,6 +209,41 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
+    """(vec_id, n_dims, l2_norm) via mapInArrow — the zero-copy Arrow
+    batch surface (one step lower-level than pandas UDFs: no Series
+    materialization, numpy views straight over Arrow buffers).
+
+    The norm is per-row float math rounded to 6 decimals, so numpy's
+    pairwise summation and the oracle's sequential list_sum agree
+    (both are ~1 ulp of each other on unit-scale embeddings).
+    Shuffle-free: a pure batch-wise projection at scan speed."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            norms, dims = [], []
+            for row in embs:
+                v = row.values.to_numpy(zero_copy_only=False).astype("float64")
+                dims.append(len(v))
+                norms.append(round(float((v * v).sum()) ** 0.5, 6))
+            yield pa.record_batch(
+                [vec_ids, pa.array(dims, pa.int32()), pa.array(norms, pa.float64())],
+                names=["vec_id", "n_dims", "l2_norm"],
+            )
+
+    return emb.mapInArrow(batches, "vec_id long, n_dims int, l2_norm double")
+
+
+NORMS_ORACLE = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+       ROUND(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
@@ -217,4 +252,5 @@ VECTOR_QUERIES = [
     QueryDef("embedding_quantize_int8", lambda s, d: quantize_int8(_emb(s, d)), QUANTIZE_ORACLE),
     QueryDef("embedding_label_centroids", lambda s, d: label_centroids(_emb(s, d)), CENTROIDS_ORACLE),
     QueryDef("ann_int8_topk", lambda s, d: int8_cosine_topk(_emb(s, d)), INT8_TOPK_ORACLE),
+    QueryDef("embedding_norms_arrow", lambda s, d: embedding_norms_arrow(_emb(s, d)), NORMS_ORACLE),
 ]

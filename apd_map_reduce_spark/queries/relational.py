@@ -2063,6 +2063,45 @@ HAVING COUNT(*) >= 3
 """
 
 
+# --- full outer join: orders vs events reconciliation ------------------------
+
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key reconciliation of the two activity ledgers: customers
+    with orders FULL OUTER customers with events. All three cases are
+    possible (order-only, event-only, both) and the key is coalesced —
+    the standard audit-join shape. Both sides are pre-aggregated to one
+    row per key BEFORE the join, so the full-outer shuffle moves two
+    already-reduced relations, never the raw fact tables."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    oo, ee = o.alias("o"), e.alias("e")
+    return oo.join(ee, F.col("o.k") == F.col("e.k"), "full_outer").select(
+        F.coalesce(F.col("o.k"), F.col("e.k")).alias("custkey"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        (F.col("o.k").isNotNull() & F.col("e.k").isNotNull()).alias("in_both"),
+    )
+
+
+FULL_OUTER_ORACLE = """
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+e AS (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT COALESCE(o.k, e.k) AS custkey,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       (o.k IS NOT NULL AND e.k IS NOT NULL) AS in_both
+FROM o FULL OUTER JOIN e ON o.k = e.k
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -2125,4 +2164,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_funnel_timeout", events_funnel_timeout, FUNNEL_TIMEOUT_ORACLE),
     QueryDef("events_sequence_match", events_sequence_match, SEQUENCE_MATCH_ORACLE),
     QueryDef("events_error_bursts", events_error_bursts, ERROR_BURSTS_ORACLE),
+    QueryDef("full_outer_reconcile", full_outer_reconcile, FULL_OUTER_ORACLE),
 ]

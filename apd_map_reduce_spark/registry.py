@@ -28,6 +28,7 @@ from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
 from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
+from apd_map_reduce_spark.operators.snapshot import SNAPSHOT_QUERIES
 from apd_map_reduce_spark.operators.textstats import TEXTSTATS_QUERIES
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.queries.corpus import CORPUS_QUERIES
@@ -88,6 +89,7 @@ ALL_QUERIES: list[QueryDef] = (
     + COOCCUR_QUERIES
     + INTERVAL_QUERIES
     + GRAPH_QUERIES
+    + SNAPSHOT_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
