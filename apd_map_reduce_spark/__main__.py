@@ -9,6 +9,11 @@ mappers → scan/partial-agg stage, reducers → final-agg/sink stage).
 Output: `<letter>.txt` files in --out (default ./output), same format
 and ordering as the reference sink — a reference user can point their
 checker's diff at it.
+
+Second mode — run any registry query by name against a table dir:
+
+    python -m apd_map_reduce_spark query <name> [--sf-dir D] [--limit N]
+    python -m apd_map_reduce_spark query list
 """
 
 from __future__ import annotations
@@ -17,7 +22,38 @@ import argparse
 import sys
 
 
+def query_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m apd_map_reduce_spark query",
+        description="Run one registry query (or `list` to enumerate)",
+    )
+    parser.add_argument("name", help="query name from the registry, or 'list'")
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    parser.add_argument("--limit", type=int, default=20, help="rows to show")
+    args = parser.parse_args(argv)
+
+    from apd_map_reduce_spark.registry import QUERY_INDEX
+
+    if args.name == "list":
+        for name, q in QUERY_INDEX.items():
+            print(f"{name}\t{'oracle' if q.oracle else 'rows-only'}")
+        return 0
+    if args.name not in QUERY_INDEX:
+        print(f"unknown query {args.name!r}; try 'list'", file=sys.stderr)
+        return 2
+
+    from apd_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name=f"apd-query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERY_INDEX[args.name].fn(spark, args.sf_dir).show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="python -m apd_map_reduce_spark",
         description="Inverted-index pipeline, reference-compatible CLI",
