@@ -81,6 +81,49 @@ SELECT doc_id, status FROM j WHERE status IS NOT NULL
 """
 
 
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive table fingerprint: one row of
+    (n_rows, checksum) with checksum = BIT_XOR of a 60-bit md5 hash of
+    the '|'-joined column renderings (NULL -> '\\N').
+
+    XOR is commutative/associative and never overflows, so the
+    fingerprint is independent of row order, partitioning, and engine —
+    this is how you compare a 100 TB table across engines or after a
+    migration WITHOUT sorting or shuffling anything: one scan, partial
+    XOR per partition, one-row merge. (Caveat by construction: XOR
+    cancels duplicate-row PAIRS; n_rows catches pure duplications.)
+
+    Cross-engine caveat: string rendering of NON-integral doubles can
+    differ between engines — cast float columns to DECIMAL first when
+    fingerprinting across engines (the registry entry uses integer-
+    valued columns, where renderings agree)."""
+    rendered = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 15), 16, 10
+    ).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("checksum"),
+    )
+
+
+def _checksum_oracle(table: str, cols: list[str]) -> str:
+    rendered = ", ".join(f"COALESCE({c}::VARCHAR, '\\N')" for c in cols)
+    return f"""
+SELECT COUNT(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(concat_ws('|', {rendered})), 1, 15))::BIGINT) AS checksum
+FROM {table}
+"""
+
+
+_LINEITEM_CK_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"]
+
+
 SNAPSHOT_QUERIES = [
     QueryDef("snapshot_diff_documents", _snapshot_diff_documents, SNAPSHOT_DIFF_ORACLE),
+    QueryDef(
+        "snapshot_table_checksum",
+        lambda s, d: table_checksum(load_table(s, d, "lineitem"), _LINEITEM_CK_COLS),
+        _checksum_oracle("lineitem", _LINEITEM_CK_COLS),
+    ),
 ]

@@ -2063,6 +2063,77 @@ HAVING COUNT(*) >= 3
 """
 
 
+# --- LOCF forward fill (time-series gap fill) --------------------------------
+
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: treat `value` as observed only
+    on 'view' events and fill every other event with the user's most
+    recent view value (the hypertable locf()/gap-fill primitive).
+
+    One window pass per user — `last(ignorenulls)` over ROWS UNBOUNDED
+    PRECEDING — no self-join, no shuffle beyond the user_id
+    partitioning; (ts, event_id) ordering makes the fill deterministic
+    under equal timestamps."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    obs = F.when(F.col("event_type") == "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("at"),
+        "event_type",
+        F.last(obs, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+LOCF_ORACLE = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS at,
+       event_type,
+       last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+"""
+
+
+# --- percent_rank / cume_dist distribution windows ---------------------------
+
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance distribution position within each nation:
+    percent_rank (rank-1)/(n-1) and cume_dist — both exact rationals of
+    integer ranks, deterministic across engines; rounded to 6 to keep
+    the hash stable anyway."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+PERCENT_RANK_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       ROUND(percent_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
+       ROUND(cume_dist() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+FROM customer
+"""
+
+
 # --- full outer join: orders vs events reconciliation ------------------------
 
 def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2165,4 +2236,6 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_sequence_match", events_sequence_match, SEQUENCE_MATCH_ORACLE),
     QueryDef("events_error_bursts", events_error_bursts, ERROR_BURSTS_ORACLE),
     QueryDef("full_outer_reconcile", full_outer_reconcile, FULL_OUTER_ORACLE),
+    QueryDef("events_locf_fill", events_locf_fill, LOCF_ORACLE),
+    QueryDef("window_percent_rank", window_percent_rank, PERCENT_RANK_ORACLE),
 ]

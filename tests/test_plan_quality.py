@@ -62,6 +62,22 @@ def test_q19_disjunction_pushes_residues_and_broadcasts(spark):
     assert "l_shipdate" not in cols, "unused lineitem columns must be pruned"
 
 
+def test_range_join_is_equi_keyed_not_nested_loop(spark):
+    """The bucketized interval join must plan as a keyed join (hash or
+    sort-merge on (user_id, bucket)) with the range predicate as a
+    residual — never BroadcastNestedLoopJoin/CartesianProduct, which is
+    what a raw inequality join degenerates to."""
+    from apd_map_reduce_spark.operators.intervals import error_click_window
+
+    df = error_click_window(load_table(spark, SF_SMOKE, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan, "range join fell back to BNL"
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), "expected a keyed join:\n" + plan[:1500]
+
+
 def test_projection_prunes_scan(spark):
     df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     cols = read_schema_columns(df)
