@@ -2063,6 +2063,60 @@ HAVING COUNT(*) >= 3
 """
 
 
+# --- OLS regression from exact sums ------------------------------------------
+
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit price ~ quantity: slope, intercept, r2
+    from EXACT decimal sums in ONE aggregation pass (never a second
+    scan for residuals, never built-in regr_* which stream doubles in
+    aggregation order). The closed-form arithmetic runs in double with
+    identical op order in both engines, then rounds."""
+    l = _t(spark, sf_dir, "lineitem")
+    x = dec2("l_quantity")
+    y = dec2("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(x)).alias("sx"),
+        as_double(F.sum(y)).alias("sy"),
+        as_double(F.sum(x * y)).alias("sxy"),
+        as_double(F.sum(x * x)).alias("sxx"),
+        as_double(F.sum(y * y)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (slope * slope) * (n * sxx - sx * sx) / (n * syy - sy * sy)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+REGRESSION_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+       ROUND((((n * sxy - sx * sy) / (n * sxx - sx * sx))
+              * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+             * (n * sxx - sx * sx) / (n * syy - sy * sy), 6) AS r2
+FROM a
+"""
+
+
 # --- LOCF forward fill (time-series gap fill) --------------------------------
 
 def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,4 +2292,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("full_outer_reconcile", full_outer_reconcile, FULL_OUTER_ORACLE),
     QueryDef("events_locf_fill", events_locf_fill, LOCF_ORACLE),
     QueryDef("window_percent_rank", window_percent_rank, PERCENT_RANK_ORACLE),
+    QueryDef("stats_regression", stats_regression, REGRESSION_ORACLE),
 ]
