@@ -2063,6 +2063,104 @@ HAVING COUNT(*) >= 3
 """
 
 
+# --- robust stats: median absolute deviation ---------------------------------
+
+def stats_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of extended price per return flag —
+    the robust outlier-scale statistic. Two grouped DISCRETE
+    percentiles (actual data values, no interpolation drift): median
+    first, then median of |x - median| after a broadcast join of the
+    per-group medians back onto the rows."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("median_price")
+    )
+    dev = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "median_price",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("dev"),
+    )
+    return dev.groupBy("l_returnflag", "median_price").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("mad_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, m.median_price,
+         ABS(l.l_extendedprice - m.median_price) AS dev
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+)
+SELECT l_returnflag, median_price,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad_price,
+       COUNT(*) AS n_lines
+FROM dev GROUP BY l_returnflag, median_price
+"""
+
+
+# --- built-in session_window (native gap sessionization) ---------------------
+
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    operator (one aggregation, merging windows in-place — the same
+    operator Structured Streaming uses for stateful sessions, so batch
+    and streaming share semantics). Twin of `events_sessionize`, which
+    builds the same islands from window algebra; here the session
+    boundary is session_window's own rule: an event at exactly
+    prev + gap starts a NEW session (window ends are exclusive), which
+    the oracle mirrors with a >= gap test on µs integers."""
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800 * 1000000::BIGINT
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 # --- OLS regression from exact sums ------------------------------------------
 
 def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2293,4 +2391,10 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("events_locf_fill", events_locf_fill, LOCF_ORACLE),
     QueryDef("window_percent_rank", window_percent_rank, PERCENT_RANK_ORACLE),
     QueryDef("stats_regression", stats_regression, REGRESSION_ORACLE),
+    QueryDef("stats_mad_prices", stats_mad_prices, MAD_ORACLE),
+    QueryDef(
+        "events_session_window_builtin",
+        events_session_window_builtin,
+        SESSION_WINDOW_ORACLE,
+    ),
 ]
