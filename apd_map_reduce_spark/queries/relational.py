@@ -2063,6 +2063,41 @@ HAVING COUNT(*) >= 3
 """
 
 
+# --- pure-SQL surface: spark.sql over registered views -----------------------
+
+_SQL_REVENUE = """
+SELECT /*+ BROADCAST(n) */
+       n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(9,6))) AS DOUBLE) AS revenue
+FROM {li} l
+JOIN {ord} o ON l.l_orderkey = o.o_orderkey
+JOIN {cust} c ON o.o_custkey = c.c_custkey
+JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+"""
+
+
+def sql_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text front door: the exact query a SQL-first user would
+    type, executed via spark.sql over registered temp views (same
+    Catalyst plan space as the DataFrame API — broadcast hint included
+    in SQL). Every other registry entry uses the DataFrame API; this
+    one proves the spark.sql surface end-to-end."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _SQL_REVENUE.format(li="v_lineitem", ord="v_orders", cust="v_customer", nat="v_nation")
+    )
+
+
+SQL_REVENUE_ORACLE = _SQL_REVENUE.format(
+    li="lineitem", ord="orders", cust="customer", nat="nation"
+).replace("/*+ BROADCAST(n) */", "")
+
+
 # --- robust stats: median absolute deviation ---------------------------------
 
 def stats_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,5 +2431,10 @@ RELATIONAL_QUERIES: list[QueryDef] = [
         "events_session_window_builtin",
         events_session_window_builtin,
         SESSION_WINDOW_ORACLE,
+    ),
+    QueryDef(
+        "sql_revenue_by_nation_year",
+        sql_revenue_by_nation_year,
+        SQL_REVENUE_ORACLE,
     ),
 ]

@@ -32,6 +32,35 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    key: str,
+    num_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Range-clustered parquet layout: repartitionByRange(key) +
+    sortWithinPartitions(key) before writing, so every output file
+    covers a DISJOINT key range and rows inside each file are sorted.
+
+    Why this matters at 100 TB: parquet stores per-row-group min/max
+    statistics. On a randomly-laid-out table every row group spans the
+    whole key domain and a selective key filter still reads everything;
+    on this layout the same filter prunes to the handful of files whose
+    range overlaps — the poor man's clustered index (same mechanism
+    Z-ordering generalizes to multiple keys). Sampling inside
+    repartitionByRange makes the range bounds; one extra shuffle buys
+    pruning on every subsequent scan."""
+    n = num_files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        df.repartitionByRange(int(n), key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame,
     path: str,
