@@ -6,10 +6,17 @@ order-insensitive values (exact — the driver hashes values, so a 1-ulp
 float drift is a FAIL; near-miss diagnostics are printed to debug).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Set CHECK_ORACLE_JSON=<path> to also dump a machine-readable summary
+(one record per query: status, rows, timings) — committed per round as
+SELFCHECK_r{N}.json so the full-registry result is auditable even when
+the external harness samples a subset.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -78,6 +85,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_fail = 0
+    records: list[dict] = []
     for q in ALL_QUERIES:
         if only and q.name not in only:
             continue
@@ -86,6 +94,7 @@ def main() -> int:
             spark_pdf = q.fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {q.name}: spark error: {exc}")
+            records.append({"query": q.name, "status": "error", "error": str(exc)[:300]})
             n_fail += 1
             continue
         t_spark = time.time() - t0
@@ -93,12 +102,17 @@ def main() -> int:
             print(f"ok?   {q.name}: rows-only check, {len(spark_pdf)} rows ({t_spark:.1f}s)")
             if len(spark_pdf) == 0:
                 print(f"      WARNING: zero rows from {q.name}")
+            records.append(
+                {"query": q.name, "status": "rows_only", "rows": len(spark_pdf),
+                 "t_spark_s": round(t_spark, 2)}
+            )
             continue
         t0 = time.time()
         try:
             oracle_pdf = con.execute(q.oracle).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {q.name}: oracle error: {exc}")
+            records.append({"query": q.name, "status": "error", "error": str(exc)[:300]})
             n_fail += 1
             continue
         t_oracle = time.time() - t0
@@ -111,7 +125,26 @@ def main() -> int:
         else:
             note = " (0 rows!)" if len(spark_pdf) == 0 else ""
             print(f"PASS  {q.name}: {len(spark_pdf)} rows{note} ({t_spark:.1f}s spark / {t_oracle:.1f}s duckdb)")
+        records.append(
+            {"query": q.name, "status": "fail" if problems else "pass",
+             "rows": len(spark_pdf), "t_spark_s": round(t_spark, 2),
+             "t_duckdb_s": round(t_oracle, 2),
+             **({"problems": problems} if problems else {})}
+        )
     print(f"\n{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
+
+    json_path = os.environ.get("CHECK_ORACLE_JSON")
+    if json_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(records),
+            "n_pass": sum(1 for r in records if r["status"] == "pass"),
+            "n_rows_only": sum(1 for r in records if r["status"] == "rows_only"),
+            "n_fail": n_fail,
+            "queries": records,
+        }
+        Path(json_path).write_text(json.dumps(summary, indent=1))
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
