@@ -645,6 +645,34 @@ GROUP BY event_type
 """
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's native VARIANT type
+    (parse_json -> try_variant_get): unlike get_json_object (string
+    re-parse per access, see events_json_extract), a VARIANT column is
+    parsed ONCE into a binary-encoded tree and every extraction is a
+    path walk — the 100 TB answer to JSON-heavy event streams. Same
+    aggregation as the string-path twin so both surfaces are covered."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(F.floor(k / 10).cast("long").alias("k_decile"), "event_type")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_decile,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY 1
+"""
+
+
 def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram binning (width_bucket semantics spelled out
     arithmetically — integer-deterministic in both engines)."""
@@ -2437,4 +2465,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
         sql_revenue_by_nation_year,
         SQL_REVENUE_ORACLE,
     ),
+    QueryDef("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE),
 ]
