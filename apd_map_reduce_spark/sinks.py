@@ -61,6 +61,66 @@ def write_range_sorted(
     )
 
 
+def zorder_value(
+    c1, c2, lo1: float, hi1: float, lo2: float, hi2: float, bits: int = 8
+):
+    """Interleaved-bit Z-value of two numeric columns, each min/max
+    scaled to a `bits`-bit grid. Pure column expression (no UDF)."""
+    from pyspark.sql import functions as F
+
+    grid = (1 << bits) - 1
+    span1 = max(hi1 - lo1, 1)
+    span2 = max(hi2 - lo2, 1)
+    q1 = F.floor((c1 - F.lit(lo1)) * F.lit(grid) / F.lit(span1)).cast("long")
+    q2 = F.floor((c2 - F.lit(lo2)) * F.lit(grid) / F.lit(span2)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(q1, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+            + (F.shiftright(q2, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    key1: str,
+    key2: str,
+    num_files: int,
+    bits: int = 8,
+    compression: str = "zstd",
+) -> None:
+    """Two-key locality layout: cluster files along the Z-order
+    (Morton) curve of (key1, key2), so every output file covers a
+    small rectangle of the 2-D key domain and parquet min/max stats
+    prune scans filtered on EITHER key — what single-key range
+    clustering (write_range_sorted) can only give one of them.
+
+    Key domains come from one cheap min/max aggregation (two driver
+    scalars, not data); the Z-value is a pure bit-interleave column
+    expression, so the whole layout costs one range shuffle + local
+    sort, identical to the single-key writer."""
+    from pyspark.sql import functions as F
+
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(key1), F.max(key1), F.min(key2), F.max(key2)
+    ).collect()[0]
+    z = zorder_value(
+        F.col(key1), F.col(key2), float(lo1), float(hi1), float(lo2), float(hi2), bits
+    ).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -50,3 +50,43 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def footer_stats(spark: SparkSession, path: str, col: str):
+    """min/max/count of `col` computed ENTIRELY from parquet footer
+    statistics — no row data is read. Uses Spark's parquet aggregate
+    pushdown, which requires the v2 datasource path; both confs are
+    scoped to this call and restored.
+
+    At 100 TB this is the difference between a metadata operation
+    (read N footers) and a full scan — use it for freshness checks,
+    partition-bound discovery, and the scaling inputs of layout
+    writers (sinks.write_zordered). Falls back transparently to a
+    normal scan when a footer lacks statistics (Spark handles this);
+    aggregate pushdown never changes results, only the access path.
+    Returns Row(lo, hi, n_rows)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()[0]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

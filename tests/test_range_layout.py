@@ -58,3 +58,61 @@ def test_range_sorted_enables_file_pruning(spark, tmp_path):
     assert spark.read.parquet(out).filter(
         F.col("l_orderkey") > max_key
     ).count() == 0
+
+
+def test_footer_stats_pushdown(spark, tmp_path):
+    from apd_map_reduce_spark.sources.files import footer_stats
+
+    out = str(tmp_path / "li_stats")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.write.mode("overwrite").parquet(out)
+    row = footer_stats(spark, out, "l_orderkey")
+    expected = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.count(F.lit(1))
+    ).collect()[0]
+    assert (row.lo, row.hi, row.n_rows) == tuple(expected)
+    # and the plan really pushed the aggregate
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        plan = (
+            spark.read.parquet(out)
+            .agg(F.min("l_orderkey"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation" in plan
+    finally:
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    from apd_map_reduce_spark.sinks import write_zordered
+
+    out = str(tmp_path / "li_z")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_zordered(li, out, "l_orderkey", "l_partkey", num_files=8)
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) == 8
+
+    dom = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    dspan1 = dom[1] - dom[0] or 1
+    dspan2 = dom[3] - dom[2] or 1
+
+    areas = []
+    for f in files:
+        part = spark.read.parquet(f)
+        r = part.agg(
+            F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+        ).collect()[0]
+        areas.append(((r[1] - r[0]) / dspan1) * ((r[3] - r[2]) / dspan2))
+    # Z-ordered files cover small rectangles: with 8 files the mean
+    # covered area must be well under the whole domain (a random or
+    # single-key layout leaves the other dimension at ~full span).
+    assert sum(areas) / len(areas) < 0.5, areas
+    assert spark.read.parquet(out).count() == li.count()
