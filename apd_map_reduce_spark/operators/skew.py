@@ -110,6 +110,42 @@ def salted_agg(
     return partial.groupBy(key).agg(*phase2_aggs)
 
 
+def salted_event_totals(events: DataFrame) -> DataFrame:
+    """Registry query: per-type event totals through the salted
+    two-phase aggregation — driver-checked against the plain GROUP BY
+    oracle, proving salting is result-transparent. The double `value`
+    is cast to decimal BEFORE salting (module rule above): decimal sums
+    are exact under any accumulation order, so the two-phase split
+    cannot drift."""
+    from apd_map_reduce_spark.queries.base import as_double, dec2
+
+    prepared = events.withColumn("v_dec", dec2("value"))
+    out = salted_agg(
+        prepared,
+        key="event_type",
+        aggs={
+            "n_events": ("", "count"),
+            "total_value_dec": ("v_dec", "sum"),
+            "max_value": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        as_double(F.col("total_value_dec")).alias("total_value"),
+        "max_value",
+    )
+
+
+SALTED_TOTALS_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def top_keys_by_frequency(df: DataFrame, key: Column | str, k: int = 10) -> DataFrame:
     """Skew diagnosis: the key histogram head (what you check before
     choosing salting / AQE / broadcast)."""

@@ -28,6 +28,7 @@ from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
 from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
+from apd_map_reduce_spark.operators.skew import SALTED_TOTALS_ORACLE, salted_event_totals
 from apd_map_reduce_spark.operators.snapshot import SNAPSHOT_QUERIES
 from apd_map_reduce_spark.operators.textstats import TEXTSTATS_QUERIES
 from apd_map_reduce_spark.queries.base import QueryDef
@@ -70,6 +71,13 @@ BEHAVIOR_QUERIES = [
         "dedup_transitive_groups",
         lambda s, d: dup_groups(load_table(s, d, "documents")),
         DUP_GROUPS_ORACLE,
+    ),
+    # Salted two-phase aggregation vs the plain GROUP BY oracle: the
+    # skew mitigation is hash-checked result-transparent.
+    QueryDef(
+        "skew_salted_event_totals",
+        lambda s, d: salted_event_totals(load_table(s, d, "events")),
+        SALTED_TOTALS_ORACLE,
     ),
 ]
 

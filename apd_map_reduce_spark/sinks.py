@@ -132,6 +132,44 @@ def write_csv(
     out.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    target_file_mb: int = 128,
+    compression: str = "zstd",
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite `src` into `dest` with file
+    count sized so each output is ~target_file_mb. Returns
+    (n_files_before, n_files_after).
+
+    The small-files problem is the slow death of a 100 TB table:
+    per-file open/footer costs dominate scans, and driver-side file
+    listings balloon. Streaming sinks and over-parallel writers create
+    it; periodic compaction is the fix. Sizes come from the
+    filesystem's own listing (works on any Hadoop-compatible FS, not
+    just local); `dest` must differ from `src` — Spark cannot
+    atomically overwrite its own input."""
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError("dest must differ from src (cannot rewrite input in place)")
+    df = spark.read.parquet(src)
+    files = df.inputFiles()
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    total_bytes = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total_bytes += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    (
+        df.repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(dest)
+    )
+    return len(files), n_out
+
+
 def write_text(
     df: DataFrame,
     path: str,

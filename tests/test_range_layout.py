@@ -116,3 +116,24 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     # single-key layout leaves the other dimension at ~full span).
     assert sum(areas) / len(areas) < 0.5, areas
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from apd_map_reduce_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "many_small")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(32).write.mode("overwrite").parquet(src)
+
+    dest = str(tmp_path / "compacted")
+    before, after = compact_parquet(spark, src, dest, target_file_mb=128)
+    assert before == 32
+    assert after < before
+    got = glob.glob(os.path.join(dest, "part-*.parquet"))
+    assert len(got) == after
+    assert spark.read.parquet(dest).count() == li.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
