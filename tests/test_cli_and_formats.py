@@ -92,3 +92,12 @@ def test_missing_table_fails_cleanly(spark):
 
     with pytest.raises(AnalysisException):
         load_table(spark, "/root/testdata/sf_nope", "orders").count()
+
+
+def test_cli_query_list_and_run(capsys):
+    from apd_map_reduce_spark.__main__ import main
+
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "corpus_inverted_index\toracle" in out
+    assert main(["query", "definitely_not_a_query"]) == 2
