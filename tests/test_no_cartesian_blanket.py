@@ -1,0 +1,49 @@
+"""Blanket scale-hygiene gate: NO registry query may plan a cartesian
+product or a broadcast-nested-loop join — the two shapes that melt at
+100 TB — except the explicitly whitelisted single-row scalar-subquery
+broadcasts (a 1-row build side is a constant, not a join blowup).
+
+This inspects the planned physical plan only (no execution), so the
+whole 121-query sweep is cheap and runs in CI with every suite."""
+
+from __future__ import annotations
+
+import pytest
+
+from apd_map_reduce_spark.registry import ALL_QUERIES
+
+from .conftest import SF_SMOKE
+
+# Queries whose plan legitimately contains a nested-loop/cross join of
+# a SINGLE-ROW aggregate (scalar subquery broadcast). Each is a 1-row
+# build side — constant-folding via join, bounded by construction.
+SCALAR_BROADCAST_OK = {
+    "customers_above_nation_avg",  # global avg acctbal (1 row)
+    "q11_top_value_parts",         # global value total (1 row)
+    "q22_idle_rich_customers",     # TPC-H q22 scalar avg subquery (1 row)
+    "text_cooccurrence_pmi",       # corpus totals (2x 1 row)
+    "text_tfidf_top_terms",        # doc count (1 row)
+    "graph_triangle_count",        # n_edges x n_triangles (1 row each)
+    "stats_mad_prices",            # per-group medians joined back (tiny)
+    # The brute-force ANN baselines broadcast a FIXED-SIZE probe set
+    # against the corpus by contract (O(|Q|*N) documented); the scale
+    # paths are ann_lsh_topk / ann_ivf_topk, which are keyed joins.
+    "ann_cosine_topk",
+    "ann_int8_topk",
+}
+
+
+@pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
+def test_no_unbounded_join_shapes(spark, qdef):
+    plan = (
+        qdef.fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{qdef.name} plans a cartesian product"
+    if qdef.name not in SCALAR_BROADCAST_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{qdef.name} plans a nested-loop join (not whitelisted as a "
+            "scalar broadcast):\n" + plan[:1200]
+        )
