@@ -2322,10 +2322,17 @@ FROM events
 
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance distribution position within each nation:
-    percent_rank (rank-1)/(n-1) and cume_dist — both exact rationals of
-    integer ranks, deterministic across engines; rounded to 6 to keep
-    the hash stable anyway."""
+    percent_rank (rank-1)/(n-1) and cume_dist — exact rationals of
+    integer ranks, so the doubles are engine-identical; the 6-dp
+    rounding is floor(x*1e6 + 0.5)/1e6 SPELLED OUT because k/n can
+    land exactly on a .5 rounding boundary and the engines' native
+    round() disagree there (found at sf0.1: 3/15000 rows off by 1e-6
+    under round(); the explicit floor form is the same IEEE op
+    sequence in both engines)."""
     from pyspark.sql.window import Window
+
+    def r6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -2334,17 +2341,17 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
 PERCENT_RANK_ORACLE = """
 SELECT c_custkey, c_nationkey,
-       ROUND(percent_rank() OVER (PARTITION BY c_nationkey
-             ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
-       ROUND(cume_dist() OVER (PARTITION BY c_nationkey
-             ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+       FLOOR(percent_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       FLOOR(cume_dist() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC) * 1000000.0 + 0.5) / 1000000.0 AS cume
 FROM customer
 """
 
