@@ -148,7 +148,8 @@ GROUP BY event_type
 
 def top_keys_by_frequency(df: DataFrame, key: Column | str, k: int = 10) -> DataFrame:
     """Skew diagnosis: the key histogram head (what you check before
-    choosing salting / AQE / broadcast)."""
+    choosing salting / AQE / broadcast). One aggregation + a k-row
+    TakeOrdered merge — never a global sort."""
     c = F.col(key) if isinstance(key, str) else key
     return (
         df.groupBy(c.alias("key"))
@@ -156,3 +157,10 @@ def top_keys_by_frequency(df: DataFrame, key: Column | str, k: int = 10) -> Data
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(k)
     )
+
+
+TOP_KEYS_ORACLE = """
+SELECT user_id AS key, COUNT(*) AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, key ASC LIMIT 10
+"""

@@ -28,7 +28,12 @@ from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
 from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
-from apd_map_reduce_spark.operators.skew import SALTED_TOTALS_ORACLE, salted_event_totals
+from apd_map_reduce_spark.operators.skew import (
+    SALTED_TOTALS_ORACLE,
+    TOP_KEYS_ORACLE,
+    salted_event_totals,
+    top_keys_by_frequency,
+)
 from apd_map_reduce_spark.operators.snapshot import SNAPSHOT_QUERIES
 from apd_map_reduce_spark.operators.textstats import TEXTSTATS_QUERIES
 from apd_map_reduce_spark.queries.base import QueryDef
@@ -78,6 +83,11 @@ BEHAVIOR_QUERIES = [
         "skew_salted_event_totals",
         lambda s, d: salted_event_totals(load_table(s, d, "events")),
         SALTED_TOTALS_ORACLE,
+    ),
+    QueryDef(
+        "skew_top_keys",
+        lambda s, d: top_keys_by_frequency(load_table(s, d, "events"), "user_id"),
+        TOP_KEYS_ORACLE,
     ),
 ]
 
