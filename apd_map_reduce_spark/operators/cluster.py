@@ -1,0 +1,187 @@
+"""K-means (Lloyd) clustering over the embeddings table.
+
+The Spark side is the scale-correct shape for iterative clustering:
+per iteration, centroids are a driver-side k x dim constant (collected
+from one groupBy — k*dim values, tiny at any corpus size) broadcast
+into the assignment expression as LITERAL arrays, so assignment is a
+single scan with zero joins/shuffles; the only shuffle per iteration
+is the (cluster, pos)-keyed stats aggregation. This is exactly how
+MLlib-style k-means distributes Lloyd: big side streams, small side is
+a broadcast constant.
+
+Cross-engine determinism (the whole 2-iteration loop is hash-checked
+against a static DuckDB oracle):
+  * per-cluster component sums are exact integers (floor(x*1e6), the
+    operators/vectors.py label_centroids trick) — order-free;
+  * a centroid component is sum_micro / (n * 1e6): ONE IEEE double
+    division of exactly-representable integer operands, so Python
+    (which feeds the literals back into Spark) and DuckDB (which
+    computes it in SQL) agree bitwise;
+  * distances are rounded to 6 dp before the argmin, centroid-id
+    tie-break, so an ulp can never flip an assignment;
+  * clusters that receive no members are DROPPED for the next round
+    (mirrored in SQL by the inner join on iteration-1 stats).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+K = 8
+DIM = 64
+ITERS = 2  # registered query: init -> assign -> recompute -> assign
+
+
+def _dvec(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def init_centroids(k: int = K, dim: int = DIM) -> list[tuple[int, list[float]]]:
+    """Deterministic md5-derived starting centroids (same construction
+    family as similarity._centroids, distinct seed namespace)."""
+    cents = []
+    for c in range(k):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"kmeans:{c}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(round((h / float(1 << 60)) * 2.0 - 1.0, 6))
+        cents.append((c, row))
+    return cents
+
+
+def assign_literal_centroids(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], emb_col: str = "embedding"
+) -> DataFrame:
+    """+ (cluster_id, dist6): nearest centroid by round-6 L2, id
+    tie-break. Centroids are literals — assignment is scan-only."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _l2(F.array(*[F.lit(v) for v in row]), _dvec(emb_col)), 6
+                ).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, row in centroids
+        ]
+    )
+    best = F.element_at(F.array_sort(pairs), 1)
+    return emb.withColumn("cluster_id", best["cid"]).withColumn("dist6", best["d"])
+
+
+def cluster_stats(assigned: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """(cluster_id, pos, n_members, sum_micro) — exact-integer
+    component sums, the shuffle step of one Lloyd iteration."""
+    exploded = assigned.select(
+        "cluster_id", F.posexplode(_dvec(emb_col)).alias("pos0", "x")
+    )
+    return exploded.groupBy(
+        "cluster_id", (F.col("pos0") + 1).cast("long").alias("pos")
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.floor(F.col("x") * F.lit(1e6))).alias("sum_micro"),
+    )
+
+
+def _next_centroids(stats_rows, dim: int = DIM) -> list[tuple[int, list[float]]]:
+    """Driver-side: stats rows -> [(cid, centroid)] for NON-EMPTY
+    clusters, each component the deterministic sum/(n*1e6) division."""
+    by_cid: dict[int, list[float]] = {}
+    for r in stats_rows:
+        by_cid.setdefault(r["cluster_id"], [0.0] * dim)
+        by_cid[r["cluster_id"]][r["pos"] - 1] = r["sum_micro"] / (r["n_members"] * 1e6)
+    return sorted((cid, vec) for cid, vec in by_cid.items())
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = K, iters: int = ITERS, emb_col: str = "embedding"
+) -> DataFrame:
+    """Full Lloyd loop: returns (vec_id, cluster_id, dist6) after
+    `iters` assignment passes (centroids recomputed between passes)."""
+    cents = init_centroids(k)
+    assigned = assign_literal_centroids(emb, cents, emb_col)
+    for _ in range(iters - 1):
+        stats = cluster_stats(assigned, emb_col).collect()
+        cents = _next_centroids(stats)
+        assigned = assign_literal_centroids(emb, cents, emb_col)
+    return assigned.select("vec_id", "cluster_id", "dist6")
+
+
+def _kmeans_oracle(k: int = K, dim: int = DIM) -> str:
+    """Static DuckDB twin of the 2-iteration kmeans_assign: iteration 1
+    via centroid-literal lists, stats in exact micro-units, iteration-2
+    centroids computed in SQL with the same single double division, and
+    the re-assignment via a k-way broadcast (cross join at oracle
+    scale) + round-6 argmin with cid tie-break."""
+    cents = init_centroids(k, dim)
+    cent_literals = ", ".join(
+        "[" + ", ".join(f"{v!r}" for v in row) + "]" for _, row in cents
+    )
+    d1_structs = ", ".join(
+        f"{{'d': ROUND(list_distance(cents[{c + 1}], emb), 6), 'cid': CAST({c} AS BIGINT)}}"
+        for c in range(k)
+    )
+    return f"""
+WITH cent_t AS (SELECT [{cent_literals}]::DOUBLE[][] AS cents),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         (list_transform(list_sort([{d1_structs}]), s -> s.cid))[1] AS cid1
+  FROM embeddings, cent_t
+),
+e1 AS (
+  SELECT cid1, unnest(emb) AS x, generate_subscripts(emb, 1)::BIGINT AS pos FROM b
+),
+st1 AS (
+  SELECT cid1 AS cluster_id, pos, COUNT(*)::BIGINT AS n_members,
+         SUM(floor(x * 1e6)::BIGINT)::BIGINT AS sum_micro
+  FROM e1 GROUP BY 1, 2
+),
+c1 AS (
+  SELECT cluster_id, pos,
+         CAST(sum_micro AS DOUBLE) / (CAST(n_members AS DOUBLE) * 1e6) AS c
+  FROM st1
+),
+c1l AS (
+  SELECT cluster_id, list(c ORDER BY pos) AS cvec FROM c1 GROUP BY cluster_id
+),
+d2 AS (
+  SELECT b.vec_id, c1l.cluster_id,
+         ROUND(list_distance(b.emb, c1l.cvec), 6) AS d
+  FROM b, c1l
+),
+a2 AS (
+  SELECT vec_id, cluster_id, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+  FROM d2
+)
+SELECT vec_id, cluster_id, d AS dist6 FROM a2 WHERE rn = 1
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+CLUSTER_QUERIES = [
+    QueryDef(
+        "kmeans_lloyd_assign",
+        lambda s, d: kmeans_assign(_emb(s, d)),
+        _kmeans_oracle(),
+    ),
+]

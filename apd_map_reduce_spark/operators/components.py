@@ -28,22 +28,28 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     pairs are returned (isolated docs are their own components
     trivially).
 
-    Propagation is one hop per round, so convergence needs
-    diameter-many rounds; raises RuntimeError if `max_iter` rounds pass
-    without a fixpoint — silently returning partial labels would hand
-    callers wrong transitive groups with no signal. (A doubling
-    large-star/small-star scheme would converge in O(log d) rounds; at
-    the dup-chain diameters seen in practice the simple loop wins on
-    constant factors.)"""
+    Each round does a min-over-neighbors hop followed by a pointer
+    jump (label := label of one's label) — the hop alone needs
+    diameter-many rounds, the jump compresses label chains so the
+    combined round count is O(log diameter). Every label value is the
+    id of a node in the same component and labels only ever decrease,
+    so convergence is detected by an unchanged SUM(label) (one cheap
+    one-row agg per round, no join). Raises RuntimeError if `max_iter`
+    rounds pass without a fixpoint — silently returning partial labels
+    would hand callers wrong transitive groups with no signal."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "component", F.col("doc_id")
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
     )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -51,28 +57,39 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        hop = labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jump: component := component's own current component.
+        # Label values are node ids of the same component (inductively:
+        # they start as own ids and only adopt neighbors' label values),
+        # so the lookup stays within the component and only decreases.
+        parent = hop.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            hop.join(parent, hop.component == parent.p_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            # No element moved in a full hop+jump round (labels are
+            # element-wise non-increasing), so the hop step is at its
+            # fixpoint: labels are constant per component (= min id).
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(

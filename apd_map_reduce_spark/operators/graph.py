@@ -139,6 +139,101 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles FROM tri
 """
 
 
+PR_SCALE = 10**12  # rank fixed-point scale
+PR_ITERS = 5
+PR_TOPK = 20
+
+
+def pagerank_topk(
+    edges: DataFrame, iters: int = PR_ITERS, k: int = PR_TOPK
+) -> DataFrame:
+    """Top-k PageRank over the undirected graph (each edge doubled into
+    two directed edges), damping 0.85, computed in SCALED INTEGER
+    arithmetic: rank is an int64 fixed-point value (scale 10^12) and
+    each per-edge contribution is ``(rank * 85) div (100 * deg)``.
+    Integer ops make the fixpoint order-free and engine-exact — a
+    float PageRank could not be hash-compared across engines because
+    SUM over doubles is order-dependent in the last ulp.
+
+    Scale posture: the driver loop is Pregel-style supersteps — per
+    iteration one keyed join (edges x ranks) + one groupBy(dst); the
+    out-degree relation is cached once and reused; no collect of
+    anything O(N) (only COUNT for the teleport constant). Every node
+    of this graph has deg >= 1, so there is no dangling mass.
+    """
+    directed = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out = directed.join(deg, "src").cache()
+    nodes = deg.select(F.col("src").alias("node")).cache()
+    n = nodes.count()
+    teleport = (15 * PR_SCALE // 100) // n
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            out.join(ranks, out.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("(rank * 85) div (100 * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(teleport).cast("long") + F.coalesce(F.col("in_mass"), F.lit(0))).alias(
+                "rank"
+            ),
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(k)
+        .select(F.col("node").alias("part_node"), F.col("rank").alias("rank_scaled"))
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, k: int = PR_TOPK) -> str:
+    """DuckDB twin: the same integer recurrence unrolled as a CTE chain
+    (r0 -> s1/r1 -> ... -> r{iters}); `//` is DuckDB integer division,
+    matching Spark's `div` on the all-positive operands here."""
+    tele = 15 * PR_SCALE // 100
+    ctes = [
+        f"WITH {_EDGES_SQL}",
+        "dir AS (SELECT a AS src, b AS dst FROM edges"
+        " UNION ALL SELECT b AS src, a AS dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src)",
+        "o AS (SELECT d.src, d.dst, g.deg FROM dir d JOIN deg g USING (src))",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) // n AS rank"
+        " FROM deg, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT o.dst, SUM((r.rank * 85) // (100 * o.deg)) AS m"
+            f" FROM o JOIN r{i - 1} r ON r.node = o.src GROUP BY o.dst)"
+        )
+        # SUM(BIGINT) is HUGEINT in DuckDB — cast back so the final
+        # column arrives as int64, matching Spark's LongType.
+        ctes.append(
+            f"r{i} AS (SELECT d.src AS node,"
+            f" CAST((SELECT CAST({tele} AS BIGINT) // n FROM nn)"
+            f" + COALESCE(s.m, 0) AS BIGINT) AS rank"
+            f" FROM deg d LEFT JOIN s{i} s ON s.dst = d.src)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS part_node, rank AS rank_scaled FROM r{iters}"
+        + f" ORDER BY rank DESC, node ASC LIMIT {k}"
+    )
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
 def _li(spark, sf_dir):
     return load_table(spark, sf_dir, "lineitem")
 
@@ -153,5 +248,10 @@ GRAPH_QUERIES = [
         "graph_triangle_count",
         lambda s, d: triangle_count(copurchase_edges(_li(s, d))),
         _TRIANGLE_ORACLE,
+    ),
+    QueryDef(
+        "graph_pagerank",
+        lambda s, d: pagerank_topk(copurchase_edges(_li(s, d))),
+        PAGERANK_ORACLE,
     ),
 ]

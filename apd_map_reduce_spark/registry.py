@@ -17,6 +17,7 @@ from apd_map_reduce_spark.operators.behavior import (
 from apd_map_reduce_spark.operators.asof import ASOF_ORACLE, asof_last_order
 from apd_map_reduce_spark.operators.components import DUP_GROUPS_ORACLE, dup_groups
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
+from apd_map_reduce_spark.operators.cluster import CLUSTER_QUERIES
 from apd_map_reduce_spark.operators.cooccur import COOCCUR_QUERIES
 from apd_map_reduce_spark.operators.curation import CURATION_QUERIES
 from apd_map_reduce_spark.operators.dedup import DEDUP_QUERIES
@@ -108,6 +109,7 @@ ALL_QUERIES: list[QueryDef] = (
     + INTERVAL_QUERIES
     + GRAPH_QUERIES
     + SNAPSHOT_QUERIES
+    + CLUSTER_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}

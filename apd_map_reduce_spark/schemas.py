@@ -2,10 +2,12 @@
 (SURVEY.md §1.3: the reference's schema is fixed and implicit; ours is
 fixed and EXPLICIT — inference is never relied on for semantics).
 
-`events.ts` is declared as it arrives post-normalization (µs
-timestamp); the raw parquet stores TIMESTAMP(NANOS), handled in
-`sources/tables.py`. `validate_table` is the load-time guard: fails
-fast on column drift instead of mis-answering queries.
+Timestamp columns are declared as they arrive under the reader confs
+set by `sources/tables.py`: parquet NTZ-micros maps to TIMESTAMP_LTZ
+(inferTimestampNTZ off), and a legacy TIMESTAMP(NANOS) events file is
+normalized to the same µs TIMESTAMP. `validate_table` is the
+load-time guard: fails fast on column drift instead of mis-answering
+queries.
 """
 
 from __future__ import annotations
@@ -20,7 +22,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampNTZType,
     TimestampType,
 )
 
@@ -62,7 +63,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("o_custkey", LongType()),
         ("o_orderstatus", StringType()),
         ("o_totalprice", DoubleType()),
-        ("o_orderdate", TimestampNTZType()),
+        ("o_orderdate", TimestampType()),
         ("o_orderpriority", StringType()),
     ),
     "lineitem": _s(
@@ -76,7 +77,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("l_tax", DoubleType()),
         ("l_returnflag", StringType()),
         ("l_linestatus", StringType()),
-        ("l_shipdate", TimestampNTZType()),
+        ("l_shipdate", TimestampType()),
     ),
     "events": _s(
         ("event_id", LongType()),

@@ -42,6 +42,12 @@ def get_spark(
         # Read parquet TIMESTAMP(NANOS) columns (e.g. events.ts) as raw
         # nanos longs; sources/tables.py converts to µs timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read parquet isAdjustedToUTC=false (NTZ) micros columns as
+        # TIMESTAMP_LTZ (same micros-since-epoch, UTC wall clock) — the
+        # scan-level mapping, so filters on those columns still push
+        # down; DuckDB reads the same files as naive TIMESTAMP, so the
+        # rendered values agree engine-to-engine under the UTC session tz.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
         # 100 TB posture: bound scan task size so a partition fits in
         # executor memory regardless of input file layout.

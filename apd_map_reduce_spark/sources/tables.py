@@ -30,23 +30,27 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table as a DataFrame.
 
-    SESSION-WIDE SIDE EFFECT when ``name == "events"``: sets
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
-    session and does NOT restore it (the conf is read at scan
-    execution, so restoring before the action would re-break the
-    read). After the first events load, any other TIMESTAMP(NANOS)
-    parquet read in the same session also returns bigint nanos
-    instead of erroring — apply the same ``timestamp_micros(ts div
-    1000)`` normalization used below if you read such files directly.
+    SESSION-WIDE SIDE EFFECT: sets two parquet-reader confs on the
+    caller's session and does NOT restore them (they are read again at
+    scan execution, so restoring before the action would re-break the
+    read):
+
+      * ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` — the
+        testdata's timestamp columns are parquet isAdjustedToUTC=false
+        micros; mapping them to TIMESTAMP_LTZ at the scan keeps the
+        micros values bit-identical, keeps filters pushing down (a
+        post-scan NTZ→LTZ projection would not), and matches DuckDB's
+        naive-TIMESTAMP rendering under the UTC session timezone.
+      * ``spark.sql.legacy.parquet.nanosAsLong=true`` (events only) —
+        earlier testdata generations used TIMESTAMP(NANOS), which Spark
+        refuses to read without it; kept so either generation loads.
+
+    The engine's own session factory sets both, but load_table must
+    work under ANY caller-provided session (e.g. the correctness
+    harness), so they are set here too.
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
-        # (PARQUET_TYPE_ILLEGAL) unless this runtime SQLConf is on. The
-        # engine's own session factory sets it, but load_table must work
-        # under ANY caller-provided session (e.g. the correctness harness),
-        # so set it here too. Deliberately not restored: the conf is
-        # consulted again at scan execution time, so resetting it before
-        # the action runs would re-break the read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

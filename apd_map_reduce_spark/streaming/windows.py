@@ -22,7 +22,10 @@ from apd_map_reduce_spark.queries.base import money
 
 def events_stream_schema(spark: SparkSession, sample_parquet: str) -> StructType:
     """Streaming readers need an explicit schema — infer once from a
-    batch footer read (cheap, driver-side)."""
+    batch footer read (cheap, driver-side). NTZ-micros parquet maps to
+    TIMESTAMP_LTZ (same conf posture as sources/tables.py, so batch and
+    stream agree on the event-time column type)."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(sample_parquet).schema
 
 
