@@ -37,17 +37,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     one-row agg per round, no join). Raises RuntimeError if `max_iter`
     rounds pass without a fixpoint — silently returning partial labels
     would hand callers wrong transitive groups with no signal."""
+    # localCheckpoint truncates lineage: the pair graph usually arrives
+    # with a deep upstream plan (e.g. the whole MinHash pipeline), and
+    # every iteration would otherwise re-embed that tree — twice per
+    # round via the self-join — making Catalyst analysis cost grow
+    # geometrically with the round number even when every byte is
+    # cached. Materializing edges/labels as plan roots keeps each
+    # round's plan O(1)-sized (the GraphFrames/GraphX iteration idiom).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
@@ -78,10 +85,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             # No element moved in a full hop+jump round (labels are
@@ -90,7 +96,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             converged = True
             break
         prev_sum = new_sum
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
