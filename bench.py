@@ -48,6 +48,12 @@ def main() -> None:
         t0 = time.time()
         run(q.fn(spark, sf_dir))
         timings[q.name] = round(time.time() - t0, 3)
+        # Drop the query's internal caches before the next timed query:
+        # they are dead weight (every query rebuilds its own), and
+        # letting them pile up makes later queries measure storage-
+        # eviction pressure instead of their own plan. Per-query action
+        # and warm protocol are unchanged.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
