@@ -307,6 +307,57 @@ WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
 """
 
 
+N_SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = "r3"
+
+
+def training_shuffle_order(
+    docs: DataFrame, n_shards: int = N_SHUFFLE_SHARDS, seed: str = SHUFFLE_SEED
+) -> DataFrame:
+    """Reproducible global corpus shuffle for training-order assignment:
+    (doc_id, shard, pos). Shuffle key = md5 of the seeded doc id — a
+    pure function, so re-running on the same corpus gives the same
+    order (no RNG, engine-identical); shard = 60-bit key prefix mod
+    n_shards; pos = rank within the shard by (key, doc_id).
+
+    Scale posture: no global sort — each shard orders its own subset
+    (one hash shuffle + per-partition sort). Readers stream shard s in
+    pos order; epoch reshuffles are just a new seed."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit("shuffle"), F.lit(seed), F.col("doc_id"))
+    )
+    df = docs.select(
+        "doc_id",
+        key.alias("skey"),
+        (F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return df.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+SHUFFLE_ORDER_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         md5(concat_ws(':', 'shuffle', '{SHUFFLE_SEED}', doc_id::VARCHAR)) AS skey
+  FROM documents
+),
+h AS (
+  SELECT doc_id, skey,
+         ('0x' || substr(skey, 1, 15))::BIGINT % {N_SHUFFLE_SHARDS} AS shard
+  FROM s
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -346,5 +397,10 @@ CURATION_QUERIES = [
         "mixture_rebalance",
         lambda s, d: mixture_rebalance(_docs(s, d)),
         MIXTURE_ORACLE,
+    ),
+    QueryDef(
+        "training_shuffle_order",
+        lambda s, d: training_shuffle_order(_docs(s, d)),
+        SHUFFLE_ORDER_ORACLE,
     ),
 ]

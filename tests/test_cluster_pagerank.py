@@ -1,0 +1,109 @@
+"""Reference-model tests for the iterative operators added in round 3:
+integer PageRank vs a pure-Python recurrence, k-means vs numpy Lloyd.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.operators.cluster import (
+    K,
+    assign_literal_centroids,
+    cluster_stats,
+    init_centroids,
+    kmeans_assign,
+)
+from apd_map_reduce_spark.operators.graph import PR_ITERS, PR_SCALE, pagerank_topk
+
+from .conftest import SF_SMOKE
+
+
+def _py_pagerank(edges, iters=PR_ITERS):
+    """The exact integer recurrence, dict-based."""
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+        out.setdefault(b, set()).add(a)
+    deg = {u: len(vs) for u, vs in out.items()}
+    n = len(deg)
+    tele = (15 * PR_SCALE // 100) // n
+    rank = {u: PR_SCALE // n for u in deg}
+    for _ in range(iters):
+        nxt = {u: tele for u in deg}
+        for u, vs in out.items():
+            c = (rank[u] * 85) // (100 * deg[u])
+            for v in vs:
+                nxt[v] += c
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (1, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.part_node: r.rank_scaled for r in pagerank_topk(df, k=100).collect()}
+    want = _py_pagerank(edges)
+    assert got == want
+    # high-degree node 3 outranks the leaf pair component
+    assert want[3] == max(want.values())
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 37 + d * 11) % 23) / 23.0 - 0.5 for d in range(64)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.cluster_id for r in kmeans_assign(emb).collect()}
+
+    # numpy reference: identical init, one stats pass, reassign
+    X = np.array(
+        [[float((i * 37 + d * 11) % 23) / 23.0 - 0.5 for d in range(64)] for i in range(60)],
+        dtype=np.float32,
+    ).astype(np.float64)
+    C = np.array([row for _, row in init_centroids()])
+    d1 = np.round(np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6)
+    a1 = d1.argmin(1)  # argmin takes the lowest index on ties = cid tie-break
+    C2, cids = [], []
+    for c in sorted(set(a1.tolist())):
+        members = X[a1 == c]
+        sums = np.floor(members * 1e6).sum(0)
+        C2.append(sums / (len(members) * 1e6))
+        cids.append(c)
+    C2 = np.array(C2)
+    d2 = np.round(np.sqrt(((X[:, None, :] - C2[None, :, :]) ** 2).sum(-1)), 6)
+    a2 = [cids[j] for j in d2.argmin(1)]
+    want = {i: a2[i] for i in range(60)}
+    assert got == want
+
+
+def test_kmeans_real_embeddings_cluster_sizes(spark):
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = kmeans_assign(emb)
+    n = assigned.count()
+    assert n == emb.count()
+    k_used = assigned.select("cluster_id").distinct().count()
+    assert 1 <= k_used <= K
+    # every distance non-negative, rounded to 6 dp
+    bad = assigned.filter((F.col("dist6") < 0)).count()
+    assert bad == 0
+
+
+def test_cluster_stats_counts_sum_to_corpus(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [4.0, 6.0])]
+    assigned = assign_literal_centroids(emb, cents)
+    stats = cluster_stats(assigned).collect()
+    per_pos = {}
+    for r in stats:
+        per_pos.setdefault(r.pos, 0)
+        per_pos[r.pos] += r.n_members
+    assert set(per_pos.values()) == {40}
