@@ -621,6 +621,105 @@ GROUP BY 1, 2
 """
 
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection over per-type hourly event counts:
+    hours where |count - mean| >= 2.5 sigma for that event_type.
+
+    Determinism: per-type mean/variance come from exact integer sums
+    (count, sum, sum of squares — order-free), then ONE spelled-out
+    sequence of double ops identical in the oracle; z is rounded to
+    6 dp before the threshold so an ulp can't flip inclusion. The
+    5-row stats side broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("c").cast("double")
+    ) / (F.col("c").cast("double") - F.lit(1.0))
+    z = F.round(
+        (F.col("n_events").cast("double") - mean) / F.sqrt(var), 6
+    ).alias("z6")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select("hour", "event_type", "n_events", z)
+        .filter(F.abs(F.col("z6")) >= 2.5)
+    )
+
+
+EVENTS_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*)::BIGINT AS c, CAST(SUM(n_events) AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS q
+  FROM hourly GROUP BY event_type
+),
+scored AS (
+  SELECT hour, h.event_type, n_events,
+         ROUND((CAST(n_events AS DOUBLE)
+                - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+               / sqrt((CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+                      / (CAST(c AS DOUBLE) - 1.0)), 6) AS z6
+  FROM hourly h JOIN stats st ON h.event_type = st.event_type
+)
+SELECT hour, event_type, n_events, z6 FROM scored WHERE abs(z6) >= 2.5
+"""
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users with > 1.2x the mean per-user event
+    count (the two-pass exact formulation; a Misra-Gries sketch would
+    be the single-pass approximation). The threshold is evaluated in
+    pure integer arithmetic (10*n*users > 12*total — no doubles in the
+    filter, so no rounding boundary exists); share6 is one double
+    division of exact integers — engine-identical. The 1-row totals
+    side broadcasts (scalar-subquery shape)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = per_user.agg(
+        F.sum("n_events").alias("n_total"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * 10 * F.col("n_users") > F.col("n_total") * 12)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share6"),
+        )
+    )
+
+
+HEAVY_HITTERS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n_total, COUNT(*)::BIGINT AS n_users
+  FROM per_user
+)
+SELECT user_id, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share6
+FROM per_user, tot
+WHERE n_events * 10 * n_users > n_total * 12
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -2437,6 +2536,8 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("er_fuzzy_part_names", er_fuzzy_part_names, ER_FUZZY_ORACLE),
     QueryDef("topk_orders", topk_orders, TOPK_ORACLE),
     QueryDef("events_hourly", events_hourly, EVENTS_HOURLY_ORACLE, headline=True),
+    QueryDef("events_hourly_anomalies", events_hourly_anomalies, EVENTS_ANOMALY_ORACLE),
+    QueryDef("events_heavy_hitters", events_heavy_hitters, HEAVY_HITTERS_ORACLE),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
     QueryDef("events_sessionize", events_sessionize, SESSIONIZE_ORACLE, headline=True),
     QueryDef("events_click_attribution", events_click_attribution, CLICK_ATTRIBUTION_ORACLE),

@@ -30,6 +30,7 @@ SCALAR_BROADCAST_OK = {
     # paths are ann_lsh_topk / ann_ivf_topk, which are keyed joins.
     "ann_cosine_topk",
     "ann_int8_topk",
+    "events_heavy_hitters",        # global event total (1 row)
 }
 
 
