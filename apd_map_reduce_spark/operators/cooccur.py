@@ -242,6 +242,50 @@ FROM tok GROUP BY word
 """
 
 
+def delta_postings(docs: DataFrame) -> DataFrame:
+    """Gap-encoded inverted index: (word, df, gaps) where gaps is the
+    CSV of successive doc-id deltas (first entry = raw doc id). Gap
+    encoding is the classic posting-list compression step — deltas are
+    small, so a varint/bit-packed layout stores them in a fraction of
+    the raw-id width; this emits the delta stream itself, which IS the
+    compressed representation modulo byte packing.
+
+    Shape: one distinct (word, doc_id) relation, a per-word lag window
+    for the deltas (sort only within each word's postings), one keyed
+    aggregation. No arrays of the whole corpus, no global sort."""
+    from pyspark.sql.window import Window
+
+    ids = _tokens_rel(docs).select(
+        "doc_id", F.explode(F.array_distinct("ts")).alias("word")
+    ).distinct()
+    w = Window.partitionBy("word").orderBy("doc_id")
+    g = ids.withColumn(
+        "gap", F.coalesce(F.col("doc_id") - F.lag("doc_id", 1).over(w), F.col("doc_id"))
+    )
+    posting = F.array_sort(F.collect_list(F.struct("doc_id", "gap")))
+    return g.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(posting, lambda s: s["gap"].cast("string")), ","
+        ).alias("gaps"),
+    )
+
+
+_DELTA_POSTINGS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+ids AS (SELECT DISTINCT doc_id, unnest(ts) AS word FROM toks),
+g AS (
+  SELECT word, doc_id,
+         COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id),
+                  doc_id) AS gap
+  FROM ids
+)
+SELECT word, COUNT(*)::BIGINT AS df,
+       string_agg(gap::VARCHAR, ',' ORDER BY doc_id) AS gaps
+FROM g GROUP BY word
+"""
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     """Top-k terms per document by smoothed tf-idf:
     idf = round(ln((N+1)/(df+1)), 6), weight = round(tf * idf, 6).
@@ -310,4 +354,5 @@ COOCCUR_QUERIES = [
     QueryDef("text_phrase_search", lambda s, d: phrase_search(_docs(s, d)), _phrase_oracle()),
     QueryDef("text_positional_index", lambda s, d: positional_index(_docs(s, d)), _POSITIONAL_ORACLE),
     QueryDef("text_tfidf_top_terms", lambda s, d: tfidf_top_terms(_docs(s, d)), _TFIDF_ORACLE),
+    QueryDef("text_postings_delta", lambda s, d: delta_postings(_docs(s, d)), _DELTA_POSTINGS_ORACLE),
 ]

@@ -2268,6 +2268,51 @@ FROM dev GROUP BY l_returnflag, median_price
 """
 
 
+def stats_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order totals per priority: clamp to the
+    [p05, p95] DISCRETE percentiles (actual data values), then average
+    the clamped values. Robust location estimate that, unlike trimming,
+    keeps n constant. Determinism: the clamp bounds are discrete
+    percentiles (no interpolation), the clamped sum is exact integer
+    cents, and the mean is one double division rounded to 2 dp — all
+    mirrored in the oracle. The 5-row bounds side broadcasts."""
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)").alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("p95"),
+    )
+    clamped = o.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")).alias("w"),
+    )
+    cents = (F.col("w").cast("decimal(18,2)") * 100).cast("long")
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(cents).cast("double") / F.count(F.lit(1)).cast("double") / 100.0, 2
+        ).alias("winsorized_mean"),
+    )
+
+
+WINSORIZED_ORACLE = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS p05,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95
+  FROM orders GROUP BY o_orderpriority
+),
+clamped AS (
+  SELECT o.o_orderpriority,
+         LEAST(GREATEST(o.o_totalprice, b.p05), b.p95) AS w
+  FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(CAST(SUM(CAST(CAST(w AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0, 2) AS winsorized_mean
+FROM clamped GROUP BY o_orderpriority
+"""
+
+
 # --- built-in session_window (native gap sessionization) ---------------------
 
 def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2563,6 +2608,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("window_percent_rank", window_percent_rank, PERCENT_RANK_ORACLE),
     QueryDef("stats_regression", stats_regression, REGRESSION_ORACLE),
     QueryDef("stats_mad_prices", stats_mad_prices, MAD_ORACLE),
+    QueryDef("stats_winsorized_prices", stats_winsorized_prices, WINSORIZED_ORACLE),
     QueryDef(
         "events_session_window_builtin",
         events_session_window_builtin,
