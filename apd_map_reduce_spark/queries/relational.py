@@ -621,6 +621,43 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window counts (1 h window, 15 min slide) per event_type —
+    the overlapping-window operator (events_hourly is the tumbling
+    special case). Spark's window(ts, '1 hour', '15 minutes') assigns
+    each event to its 4 covering windows in one generate step; the
+    oracle mirrors that with an explicit 4-offset unnest. Keyed
+    aggregation on (window_start, event_type) — state/shuffle is 4x
+    the tumbling case, the documented cost of a slide."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SLIDING_WINDOWS_ORACLE = """
+WITH expanded AS (
+  SELECT strftime(date_trunc('hour', ts)
+                  + to_minutes(15 * CAST(floor(date_part('minute', ts) / 15) AS INTEGER))
+                  - to_minutes(15 * k), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score anomaly detection over per-type hourly event counts:
     hours where |count - mean| >= 2.5 sigma for that event_type.
@@ -2581,6 +2618,7 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("er_fuzzy_part_names", er_fuzzy_part_names, ER_FUZZY_ORACLE),
     QueryDef("topk_orders", topk_orders, TOPK_ORACLE),
     QueryDef("events_hourly", events_hourly, EVENTS_HOURLY_ORACLE, headline=True),
+    QueryDef("events_sliding_windows", events_sliding_windows, SLIDING_WINDOWS_ORACLE),
     QueryDef("events_hourly_anomalies", events_hourly_anomalies, EVENTS_ANOMALY_ORACLE),
     QueryDef("events_heavy_hitters", events_heavy_hitters, HEAVY_HITTERS_ORACLE),
     QueryDef("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE),
