@@ -8,14 +8,16 @@ fraction, and most-frequent-bigram fraction — the standard "is this
 document degenerate boilerplate / a repetition loop?" features used to
 filter LLM pretraining corpora.
 
-Scale design: everything is computed INSIDE the per-row token array via
-``array_sort`` + an ``aggregate`` max-run-length fold — the count of the
-most frequent element of a sorted array is its longest equal-run. No
-explode, no shuffle, no UDF: the whole operator is one whole-stage-
-codegen projection that runs at scan speed on 100 TB, unlike the
-explode → groupBy(doc_id, token) formulation which would shuffle
-token-count rows (the DuckDB oracle uses exactly that formulation —
-same result, different plan — which is the point of the oracle).
+Scale design: explode → groupBy(doc_id, token) → per-doc aggregate.
+This SHUFFLES token-count rows, and it is still the right plan: the
+array-internal alternative (array_sort + an `aggregate` max-run-length
+fold, kept below as `max_run_length` for array-sized inputs) avoids the
+shuffle but Spark evaluates higher-order-function lambdas INTERPRETED,
+outside whole-stage codegen — measured 38.5 s vs 1.4 s at sf0.1
+(5,000 docs), the same 14-27x penalty recorded for the MinHash
+array-side prototype (NOTES_r3). Keys are (doc_id, token): uniform,
+skew-free, map-side partial aggregation applies. The DuckDB oracle
+uses the same formulation.
 """
 
 from __future__ import annotations
@@ -55,22 +57,38 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     """Per-doc repetition features over normalized tokens (same
     normalization as the dedup family, reference P1+P2).
 
+    Docs whose normalization yields ZERO tokens are absent from the
+    result (exactly the oracle's unnest semantics).
+
     Ratios are BIGINT/BIGINT divisions — deterministic doubles from
     identical integer operands on both engines (queries/base.py rules).
     """
-    toks = normalized_tokens()
-    big = word_shingles(toks, 2)
-    counted = docs.select(
+    base = docs.select("doc_id", normalized_tokens().alias("ts"))
+    tok = base.select("doc_id", F.explode("ts").alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ta = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_token_n"),
+    )
+    big = base.select(
+        "doc_id", F.explode(word_shingles(F.col("ts"), 2)).alias("b")
+    )
+    bc = big.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    ba = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+    joined = ta.join(ba, "doc_id", "left").select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        max_run_length(F.array_sort(toks)).alias("top_token_n"),
-        F.size(big).cast("long").alias("n_bigrams"),
-        max_run_length(F.array_sort(big)).alias("top_bigram_n"),
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long")).alias("top_bigram_n"),
     )
     n_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
     n_bigrams = F.greatest(F.col("n_bigrams"), F.lit(1))
-    return counted.select(
+    return joined.select(
         "doc_id",
         "n_tokens",
         "n_distinct",

@@ -107,8 +107,6 @@ def test_new_families_are_shuffle_free_and_pruned(spark):
     from .conftest import SF_SMOKE
 
     cases = [
-        (repetition_signals(load_table(spark, SF_SMOKE, "documents")),
-         {"present": ["doc_id", "text"], "absent": ["lang", "source"]}),
         (pseudonymize_events(load_table(spark, SF_SMOKE, "events")),
          {"present": ["event_id", "user_id", "props"], "absent": ["event_type", "value"]}),
         (quantize_int8(load_table(spark, SF_SMOKE, "embeddings")),
@@ -121,6 +119,18 @@ def test_new_families_are_shuffle_free_and_pruned(spark):
             assert c in cols
         for c in expect["absent"]:
             assert c not in cols, f"unused column {c} must be pruned"
+
+    # repetition_signals deliberately SHUFFLES (explode -> groupBy stays
+    # in codegen; the shuffle-free HOF fold was 27x slower — module
+    # docstring) but must still prune the scan and partial-aggregate
+    # map-side.
+    rep = repetition_signals(load_table(spark, SF_SMOKE, "documents"))
+    plan = formatted_plan(rep)
+    assert "Exchange" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    cols = read_schema_columns(rep)
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "source" not in cols
 
 
 def test_label_centroids_exact_integer_sums(spark):
