@@ -64,3 +64,34 @@ def test_shuffle_partition_sweep(spark):
         if baseline is None:
             baseline = got
         assert got == baseline, f"diverged at shuffle.partitions={n}"
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_training_shuffle_is_a_permutation(spark, doc_ids):
+    """training_shuffle_order must be a bijection: every doc exactly
+    once, and within each shard positions are dense 1..n_shard."""
+    from apd_map_reduce_spark.operators.curation import training_shuffle_order
+
+    docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id LONG")
+    rows = training_shuffle_order(docs).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(doc_ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_pagerank_mass_and_floor(spark):
+    """Integer PageRank invariants: every rank >= the teleport constant
+    and total mass never exceeds the scale (floors only lose mass)."""
+    from apd_map_reduce_spark.operators.graph import PR_SCALE, pagerank_topk
+
+    edges = [(i, (i * 7 + 3) % 50) for i in range(50) if i != (i * 7 + 3) % 50]
+    df = spark.createDataFrame(sorted(set(map(lambda e: (min(e), max(e)), edges))), "a long, b long")
+    ranks = pagerank_topk(df, k=1000).collect()
+    n = len(ranks)
+    tele = (15 * PR_SCALE // 100) // n
+    assert all(r.rank_scaled >= tele for r in ranks)
+    assert sum(r.rank_scaled for r in ranks) <= PR_SCALE
