@@ -203,6 +203,76 @@ FROM base
 """
 
 
+AUDIO_SCHEMA = (
+    "doc_id LONG, n_samples LONG, peak LONG, energy LONG, zero_crossings LONG"
+)
+
+
+def _audio_stats_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake "waveform analysis": payload bytes as centered
+    8-bit PCM samples (b - 128). Emits the classic per-clip features —
+    peak amplitude, total energy (exact int64 sum of squares), zero
+    crossings — that a real audio front end (librosa/ffmpeg, absent in
+    this container) would produce from decoded PCM."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_samples": [],
+            "peak": [],
+            "energy": [],
+            "zero_crossings": [],
+        }
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            v = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(len(v))
+            out["peak"].append(int(np.abs(v).max()) if len(v) else 0)
+            out["energy"].append(int((v * v).sum()))
+            out["zero_crossings"].append(
+                int(((v[:-1] < 0) != (v[1:] < 0)).sum()) if len(v) > 1 else 0
+            )
+        yield pd.DataFrame(out)
+
+
+def multimodal_audio_stats(docs: DataFrame) -> DataFrame:
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary.mapInPandas(_audio_stats_stub, AUDIO_SCHEMA)
+
+
+# Audio oracle: samples are ascii(code) - 128 on the ASCII payloads, so
+# peak/energy are per-doc integer aggregates and zero crossings a lag
+# comparison over the unnested sample sequence.
+AUDIO_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c) - 128) AS v
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i, v[i] AS x
+  FROM base, unnest(generate_series(1, len(v))) AS t(i)
+),
+lagged AS (
+  SELECT doc_id, x,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+  FROM s
+),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_samples,
+         MAX(abs(x))::BIGINT AS peak,
+         CAST(SUM(x * x) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN px IS NOT NULL AND ((px < 0) <> (x < 0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM lagged GROUP BY doc_id
+)
+SELECT b.doc_id, COALESCE(a.n_samples, 0) AS n_samples,
+       COALESCE(a.peak, 0) AS peak, COALESCE(a.energy, 0) AS energy,
+       COALESCE(a.zero_crossings, 0) AS zero_crossings
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
 MULTIMODAL_QUERIES = [
     QueryDef(
         "multimodal_metadata",
@@ -221,5 +291,10 @@ MULTIMODAL_QUERIES = [
         "multimodal_thumbnails",
         lambda s, d: multimodal_thumbnails_csv(load_table(s, d, "documents")),
         THUMB_ORACLE,
+    ),
+    QueryDef(
+        "multimodal_audio_stats",
+        lambda s, d: multimodal_audio_stats(load_table(s, d, "documents")),
+        AUDIO_ORACLE,
     ),
 ]

@@ -68,3 +68,20 @@ def test_null_and_empty_text_tokens(spark):
     )
     idx = {r.word: r.file_ids for r in inverted_index(corpus).collect()}
     assert idx == {"ok": [4]}
+
+
+def test_audio_stats_matches_python_model(spark):
+    from apd_map_reduce_spark.operators.multimodal import multimodal_audio_stats
+
+    docs = spark.createDataFrame(
+        [(1, "AZ az"), (2, "~"), (3, "  ")],  # mixed signs around 128
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_samples, r.peak, r.energy, r.zero_crossings)
+           for r in multimodal_audio_stats(docs).collect()}
+    want = {}
+    for doc_id, text in [(1, "AZ az"), (2, "~"), (3, "  ")]:
+        v = [b - 128 for b in text.encode()]
+        zc = sum(1 for a, b in zip(v, v[1:]) if (a < 0) != (b < 0))
+        want[doc_id] = (len(v), max(abs(x) for x in v), sum(x * x for x in v), zc)
+    assert got == want
