@@ -137,3 +137,35 @@ def test_compact_parquet_small_files(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy layout: a date filter must become a
+    PartitionFilter (directory pruning — zero IO for other days), not a
+    post-scan predicate."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.sinks import write_parquet
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_parquet(events, out, partition_by=["event_date"])
+
+    n_days = events.select("event_date").distinct().count()
+    assert n_days > 1
+
+    one_day = events.select(F.max(F.to_date("ts"))).collect()[0][0]
+    back = spark.read.parquet(out).filter(F.col("event_date") == F.lit(one_day))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200], (
+        "date predicate must prune partitions, not filter post-scan:\n" + plan[:800]
+    )
+    # and the data is intact for that day
+    want = events.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert back.count() == want
