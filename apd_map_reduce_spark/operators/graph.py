@@ -139,6 +139,79 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles FROM tri
 """
 
 
+JACCARD_E6_MIN = 200_000  # keep pairs with Jaccard >= 0.2
+
+
+def item_jaccard(lineitem: DataFrame, min_quantity: float = MIN_QUANTITY,
+                 min_jaccard_e6: int = JACCARD_E6_MIN) -> DataFrame:
+    """Item-item collaborative-filtering similarity: for every part
+    pair sharing an order, Jaccard over their order SETS —
+    |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| — reported as a
+    fixed-point integer ``jaccard_e6 = (co * 1e6) div union`` so the
+    value is engine-exact (no float rounding boundary at all).
+
+    Scale: candidate pairs come only from the per-order self-join
+    (fan-out bounded by items-per-order choose 2, never corpus-sized);
+    co-counts and per-part degrees are two keyed aggregations; the
+    degree relation is part-cardinality-sized, joined by key. This is
+    the classic "similarity via co-occurrence counts" MapReduce shape —
+    no all-pairs join over the catalog ever exists.
+    """
+    items = (
+        lineitem.filter(F.col("l_quantity") >= min_quantity)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = items.alias("x"), items.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+    )
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("db"))
+    return (
+        co.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            F.expr("(co_orders * 1000000) div (da + db - co_orders)").alias(
+                "jaccard_e6"
+            ),
+        )
+        .filter(F.col("jaccard_e6") >= min_jaccard_e6)
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {MIN_QUANTITY}
+),
+co AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, COUNT(*) AS co_orders
+  FROM items x JOIN items y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (SELECT l_partkey, COUNT(*) AS deg FROM items GROUP BY 1)
+SELECT co.part_a, co.part_b, co.co_orders,
+       (co.co_orders * 1000000) // (a.deg + b.deg - co.co_orders) AS jaccard_e6
+FROM co JOIN deg a ON a.l_partkey = co.part_a
+        JOIN deg b ON b.l_partkey = co.part_b
+WHERE (co.co_orders * 1000000) // (a.deg + b.deg - co.co_orders) >= {JACCARD_E6_MIN}
+"""
+
+
 PR_SCALE = 10**12  # rank fixed-point scale
 PR_ITERS = 5
 PR_TOPK = 20
@@ -253,5 +326,10 @@ GRAPH_QUERIES = [
         "graph_pagerank",
         lambda s, d: pagerank_topk(copurchase_edges(_li(s, d))),
         PAGERANK_ORACLE,
+    ),
+    QueryDef(
+        "graph_item_jaccard",
+        lambda s, d: item_jaccard(_li(s, d)),
+        _JACCARD_ORACLE,
     ),
 ]

@@ -110,6 +110,71 @@ GROUP BY ROLLUP(day, hour)
 """
 
 
+DECAY_CAP_DAYS = 30  # ages beyond the cap share the smallest weight
+
+
+def decayed_user_totals(events: DataFrame, cap_days: int = DECAY_CAP_DAYS) -> DataFrame:
+    """Exponentially time-decayed engagement per user: each event's
+    value is weighted by 2^(-age_days) with a 1-day half-life, ages
+    measured back from the newest event in the table and capped at
+    `cap_days`.
+
+    Determinism: weights are powers of two, so the whole sum is EXACT
+    integer arithmetic — contribution = cents * 2^(cap - age), summed
+    as DECIMAL(38,0), divided once by 2^cap * 100 at the end (a single
+    scalar double op). No float rounding boundary exists anywhere.
+
+    Scale: one pass; the reference timestamp is a 1-row broadcast
+    (scalar subquery), the aggregation is a keyed groupBy(user_id) with
+    map-side partial sums. The decay weighting adds zero shuffles."""
+    anchor = events.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    aged = (
+        events.select("user_id", F.unix_micros("ts").alias("us"), cents.alias("cents"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "cents",
+            F.least(
+                F.expr("(max_us - us) div 86400000000"), F.lit(cap_days)
+            ).alias("age_days"),
+        )
+    )
+    # cents * 2^k fits comfortably in int64 (<= ~1e14); the SUM is the
+    # part that can grow, so it runs in DECIMAL(38,0) (HUGEINT-backed
+    # SUM(BIGINT) on the DuckDB side) — exact on both engines.
+    contrib = F.expr(
+        f"CAST(cents * CAST(pow(2, {DECAY_CAP_DAYS} - age_days) AS BIGINT)"
+        " AS DECIMAL(38,0))"
+    )
+    denom = float((2**cap_days) * 100)
+    return (
+        aged.groupBy("user_id")
+        .agg(F.sum(contrib).alias("num"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("num").cast("double") / F.lit(denom)).alias("decayed_value"),
+        )
+    )
+
+
+_DECAYED_ORACLE = f"""
+WITH anchor AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+aged AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         LEAST((a.max_us - epoch_us(ts)) // 86400000000, {DECAY_CAP_DAYS}) AS age_days
+  FROM events, anchor a
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(cents * CAST(2 ** ({DECAY_CAP_DAYS} - age_days) AS BIGINT)) AS DOUBLE)
+         / {float((2 ** DECAY_CAP_DAYS) * 100)} AS decayed_value
+FROM aged
+GROUP BY user_id
+"""
+
+
 INTERVAL_QUERIES = [
     QueryDef(
         "events_error_click_window",
@@ -120,5 +185,10 @@ INTERVAL_QUERIES = [
         "events_time_rollup",
         lambda s, d: events_time_rollup(load_table(s, d, "events")),
         _TIME_ROLLUP_ORACLE,
+    ),
+    QueryDef(
+        "events_decayed_totals",
+        lambda s, d: decayed_user_totals(load_table(s, d, "events")),
+        _DECAYED_ORACLE,
     ),
 ]

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from apd_map_reduce_spark.operators.dedup import normalized_tokens
 from apd_map_reduce_spark.plans.layout import spread
@@ -413,6 +414,62 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (bits) — the
+    information-theoretic repetitiveness signal corpus filters pair
+    with the repetition ratios (a doc of one repeated token scores 0;
+    uniform vocabulary scores log2(n)).
+
+    Determinism: entropy = (1/n) * sum_t c_t * log2(n / c_t). Each
+    per-token log2 is rounded to 6 decimals then multiplied by the
+    EXACT integer count and summed as decimals (double summation order
+    would drift in the last ulp); the final division is one scalar
+    double op — deterministic cross-engine.
+
+    Scale: explode -> groupBy(doc, token) with map-side partial
+    aggregation, then a per-doc window over the already-shuffled key —
+    no second exchange (doc_id is a prefix of the grouping key)."""
+    tok = spread(docs).select(
+        "doc_id", F.explode(normalized_tokens()).alias("token")
+    )
+    per_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    with_n = per_tok.withColumn("n", F.sum("c").over(w))
+    term = (
+        F.round(F.log2(F.col("n").cast("double") / F.col("c").cast("double")), 6)
+        .cast("decimal(12,6)")
+        * F.col("c")
+    )
+    return with_n.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum(term).cast("double") / F.max("n")).alias("entropy_bits"),
+    )
+
+
+ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split_regex(text, '\\s+'),
+                t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '')) AS token
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+),
+with_n AS (
+  SELECT doc_id, c,
+         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM per_tok
+)
+SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_unique,
+       CAST(SUM(CAST(ROUND(log2(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+                     AS DECIMAL(12,6)) * c) AS DOUBLE) / MAX(n) AS entropy_bits
+FROM with_n
+GROUP BY doc_id
+"""
+
+
 UNIGRAM_ORACLE = """
 WITH tok AS (
   SELECT doc_id,
@@ -437,5 +494,6 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_winnow_fingerprints", lambda s, d: winnow_fingerprints(_docs(s, d)), WINNOW_ORACLE),
     QueryDef("text_bpe_token_counts", lambda s, d: bpe_token_counts(_docs(s, d)), BPE_TOKENS_ORACLE),
     QueryDef("text_unigram_logprob", lambda s, d: unigram_logprob(_docs(s, d)), UNIGRAM_ORACLE),
+    QueryDef("text_token_entropy", lambda s, d: token_entropy(_docs(s, d)), ENTROPY_ORACLE),
     QueryDef("text_lang_id_ngram", lambda s, d: lang_id_ngram(_docs(s, d)), _lang_ngram_oracle()),
 ]

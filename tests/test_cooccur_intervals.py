@@ -164,3 +164,51 @@ def test_events_time_rollup_grains(spark):
     assert by_key[("2024-03-01", 5)] == (1, 1.0)
     assert by_key[("2024-03-01", None)] == (2, 3.0)
     assert by_key[(None, None)] == (3, 7.0)
+
+
+def test_token_entropy_hand_docs(spark):
+    import math
+
+    from apd_map_reduce_spark.operators.textstats import token_entropy
+
+    docs = _docs(spark, [(1, "a a a a"), (2, "a b c d")])
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    # Single repeated token -> zero entropy; uniform over 4 -> log2(4)=2.
+    assert got[1].n_tokens == 4 and got[1].n_unique == 1
+    assert got[1].entropy_bits == 0.0
+    assert got[2].n_tokens == 4 and got[2].n_unique == 4
+    assert math.isclose(got[2].entropy_bits, 2.0, abs_tol=1e-6)
+
+
+def test_decayed_totals_powers_of_two(spark):
+    import datetime
+
+    from apd_map_reduce_spark.operators.intervals import decayed_user_totals
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, t0, 8.0),            # age 0 -> weight 1
+        (1, t0 - day, 8.0),      # age 1 -> weight 1/2
+        (2, t0 - 2 * day, 8.0),  # age 2 -> weight 1/4
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in decayed_user_totals(ev).collect()}
+    assert got[1].n_events == 2 and got[1].decayed_value == 12.0
+    assert got[2].n_events == 1 and got[2].decayed_value == 2.0
+
+
+def test_decayed_totals_age_cap(spark):
+    import datetime
+
+    from apd_map_reduce_spark.operators.intervals import decayed_user_totals
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    old = t0 - datetime.timedelta(days=400)
+    ev = spark.createDataFrame(
+        [(1, t0, 0.0), (1, old, 2.0 ** 30)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = decayed_user_totals(ev).collect()[0]
+    # Age clamps to 30 -> weight 2^-30 -> contribution exactly 1.0.
+    assert got.decayed_value == 1.0

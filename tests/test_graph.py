@@ -95,3 +95,39 @@ def test_runtime_bloom_filter_injected(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_item_jaccard_hand_orders(spark):
+    from apd_map_reduce_spark.operators.graph import item_jaccard
+
+    # Orders: o1={p1,p2}, o2={p1,p2}, o3={p1,p3}.
+    # jaccard(p1,p2) = 2 / (3+2-2) = 2/3 -> 666666 (floor at 1e6).
+    # jaccard(p1,p3) = 1 / (3+1-1) = 1/3 -> 333333.
+    rows = [
+        (1, 1, 50.0), (1, 2, 50.0),
+        (2, 1, 50.0), (2, 2, 50.0),
+        (3, 1, 50.0), (3, 3, 50.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    got = {
+        (r.part_a, r.part_b): (r.co_orders, r.jaccard_e6)
+        for r in item_jaccard(li, min_quantity=0, min_jaccard_e6=0).collect()
+    }
+    assert got == {(1, 2): (2, 666666), (1, 3): (1, 333333)}
+
+
+def test_item_jaccard_threshold_filters(spark):
+    from apd_map_reduce_spark.operators.graph import item_jaccard
+
+    rows = [
+        (1, 1, 50.0), (1, 2, 50.0),
+        (2, 1, 50.0), (2, 2, 50.0),
+        (3, 1, 50.0), (3, 3, 50.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    kept = item_jaccard(li, min_quantity=0, min_jaccard_e6=500_000).collect()
+    assert [(r.part_a, r.part_b) for r in kept] == [(1, 2)]
