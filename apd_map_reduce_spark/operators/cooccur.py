@@ -345,6 +345,68 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Bigram language-model fluency score: mean log10 of the corpus
+    conditional probability p(w2 | w1) = c(w1,w2) / c(w1,·) over each
+    doc's adjacent token pairs — one notch above the unigram score in
+    textstats (which ignores order entirely). Docs with fewer than two
+    tokens have no bigrams and drop out, same as the oracle.
+
+    Determinism: each log10 is rounded to 6 decimals and summed as
+    exact decimals; the conditional ratio itself is one scalar double
+    division of exact integer counts.
+
+    Scale: bigrams come from zipping the token array with its own
+    1-shifted slice (array-side, codegen, zero shuffle); the bigram and
+    predecessor-count relations are vocabulary²-bounded aggregates,
+    broadcast back onto the pair stream."""
+    toks = _tokens_rel(docs).filter(F.size("ts") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    stats = c2.join(F.broadcast(c1), "w1")
+    log_dec = F.round(
+        F.log10(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(12,6)")
+    return (
+        big.join(F.broadcast(stats), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(log_dec).cast("double") / F.count(F.lit(1))).alias(
+                "mean_log10_cond"
+            ),
+        )
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+  FROM toks WHERE len(ts) >= 2
+),
+big AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM idx),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(log10(CAST(s.c2 AS DOUBLE) / CAST(c.c1 AS DOUBLE)), 6)
+                     AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS mean_log10_cond
+FROM big b
+JOIN c2 s ON s.w1 = b.w1 AND s.w2 = b.w2
+JOIN c1 c ON c.w1 = b.w1
+GROUP BY b.doc_id
+"""
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -355,4 +417,5 @@ COOCCUR_QUERIES = [
     QueryDef("text_positional_index", lambda s, d: positional_index(_docs(s, d)), _POSITIONAL_ORACLE),
     QueryDef("text_tfidf_top_terms", lambda s, d: tfidf_top_terms(_docs(s, d)), _TFIDF_ORACLE),
     QueryDef("text_postings_delta", lambda s, d: delta_postings(_docs(s, d)), _DELTA_POSTINGS_ORACLE),
+    QueryDef("text_bigram_logprob", lambda s, d: bigram_logprob(_docs(s, d)), _BIGRAM_ORACLE),
 ]

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from apd_map_reduce_spark.queries.base import QueryDef, as_double, dec2
 from apd_map_reduce_spark.sources.tables import load_table
@@ -175,6 +176,56 @@ GROUP BY user_id
 """
 
 
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: (from_type, to_type, n_transitions, p_e6) where p_e6 is
+    the row-normalized transition probability as a fixed-point integer
+    ``(n * 1e6) div row_total`` — engine-exact, no float boundary.
+
+    Ordering within a user is (ts, event_id): the event_id tie-break
+    makes the sequence — and therefore every count — deterministic even
+    when two events share a timestamp.
+
+    Scale: one window pass partitioned by user (bounded per-user state)
+    and one |types|²-bounded aggregation. No self-join on the stream."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr(
+            "(n_transitions * 1000000) div sum(n_transitions)"
+            " over (partition by from_type)"
+        ).alias("p_e6"),
+    )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       (n_transitions * 1000000)
+         // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_e6
+FROM counts
+"""
+
+
 INTERVAL_QUERIES = [
     QueryDef(
         "events_error_click_window",
@@ -190,5 +241,10 @@ INTERVAL_QUERIES = [
         "events_decayed_totals",
         lambda s, d: decayed_user_totals(load_table(s, d, "events")),
         _DECAYED_ORACLE,
+    ),
+    QueryDef(
+        "events_markov_transitions",
+        lambda s, d: markov_transitions(load_table(s, d, "events")),
+        _MARKOV_ORACLE,
     ),
 ]

@@ -212,3 +212,44 @@ def test_decayed_totals_age_cap(spark):
     got = decayed_user_totals(ev).collect()[0]
     # Age clamps to 30 -> weight 2^-30 -> contribution exactly 1.0.
     assert got.decayed_value == 1.0
+
+
+def test_bigram_logprob_hand_docs(spark):
+    import math
+
+    from apd_map_reduce_spark.operators.cooccur import bigram_logprob
+
+    docs = _docs(spark, [(1, "a b"), (2, "a c"), (3, "x")])
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # c(a,b)=c(a,c)=1, c(a,.)=2 -> both conditionals are 1/2.
+    assert set(got) == {1, 2}  # single-token doc 3 has no bigrams
+    assert got[1].n_bigrams == 1
+    assert math.isclose(got[1].mean_log10_cond, math.log10(0.5), abs_tol=1e-6)
+    assert math.isclose(got[2].mean_log10_cond, math.log10(0.5), abs_tol=1e-6)
+
+
+def test_markov_transitions_hand_sequence(spark):
+    import datetime
+
+    from apd_map_reduce_spark.operators.intervals import markov_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> view -> click
+        (1, t0, 1, "view"), (2, t0 + s, 1, "click"),
+        (3, t0 + 2 * s, 1, "view"), (4, t0 + 3 * s, 1, "click"),
+        # user 2: view -> view
+        (5, t0, 2, "view"), (6, t0 + s, 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p_e6)
+        for r in markov_transitions(ev).collect()
+    }
+    # from view: 2x ->click, 1x ->view; from click: 1x ->view.
+    assert got[("view", "click")] == (2, 666666)
+    assert got[("view", "view")] == (1, 333333)
+    assert got[("click", "view")] == (1, 1000000)
