@@ -2576,6 +2576,67 @@ FROM o FULL OUTER JOIN e ON o.k = e.k
 """
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog gauge: each order opens at o_orderdate
+    and closes when its last line item ships (max l_shipdate). The
+    interval-stabbing count "how many orders were open on day D" is
+    computed event-sourced — +1/-1 deltas per day, then a cumulative
+    sum — never by joining days against intervals.
+
+    Scale: the delta stream aggregates per DAY first (keyed groupBy
+    with map-side combine), so the unpartitioned cumulative window runs
+    over a date-cardinality relation (thousands of rows at any corpus
+    size), not the order stream."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    spans = o.select("o_orderkey", "o_orderdate").join(
+        close, o.o_orderkey == close.l_orderkey
+    )
+    deltas = spans.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.lit(1).cast("long").alias("delta"),
+    ).unionAll(
+        spans.select(
+            F.date_format("close_ts", "yyyy-MM-dd").alias("day"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "net_change", F.sum("net_change").over(w).alias("open_backlog")
+    )
+
+
+BACKLOG_ORACLE = """
+WITH close AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS close_ts FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT o.o_orderdate, c.close_ts
+  FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, CAST(1 AS BIGINT) AS delta
+  FROM spans
+  UNION ALL
+  SELECT strftime(close_ts, '%Y-%m-%d') AS day, CAST(-1 AS BIGINT) AS delta
+  FROM spans
+),
+daily AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change FROM deltas GROUP BY day
+)
+SELECT day, net_change,
+       CAST(SUM(net_change) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_backlog
+FROM daily
+"""
+
+
 RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, headline=True),
     QueryDef("q3_top_orders", q3_top_orders, Q3_ORACLE, headline=True),
@@ -2658,4 +2719,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
         SQL_REVENUE_ORACLE,
     ),
     QueryDef("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE),
+    QueryDef("orders_open_backlog", orders_open_backlog, BACKLOG_ORACLE),
 ]
