@@ -176,6 +176,56 @@ GROUP BY user_id
 """
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_distinct_users(events: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFrame:
+    """Trailing-N-day distinct users per calendar day ("rolling WAU"):
+    for each day with any activity, how many distinct users appeared in
+    the last `window_days` days (inclusive).
+
+    Sliding COUNT(DISTINCT) can't be an ordinary window aggregate, and
+    the naive day-vs-history join is quadratic. Instead each distinct
+    (user, active_day) observation is expanded to the exactly
+    `window_days` report days it can contribute to — a CONSTANT fan-out
+    — then distinct + keyed count. Two shuffles total, both on uniform
+    (user, day) keys, at any corpus size."""
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day_d"),
+    ).distinct()
+    days = events.select(F.to_date("ts").alias("day_d")).distinct()
+    return (
+        expanded.join(days, "day_d")
+        .groupBy("day_d")
+        .agg(F.count(F.lit(1)).alias("rolling_users"))
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"), "rolling_users"
+        )
+    )
+
+
+_ROLLING_WAU_ORACLE = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+expanded AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                       CAST(d AS TIMESTAMP) + INTERVAL {WAU_WINDOW_DAYS - 1} DAY,
+                       INTERVAL 1 DAY)) AS DATE) AS day_d
+  FROM ud
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day_d FROM events)
+SELECT strftime(e.day_d, '%Y-%m-%d') AS day, COUNT(*) AS rolling_users
+FROM expanded e JOIN days USING (day_d)
+GROUP BY 1
+"""
+
+
 def markov_transitions(events: DataFrame) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: (from_type, to_type, n_transitions, p_e6) where p_e6 is
@@ -246,5 +296,10 @@ INTERVAL_QUERIES = [
         "events_markov_transitions",
         lambda s, d: markov_transitions(load_table(s, d, "events")),
         _MARKOV_ORACLE,
+    ),
+    QueryDef(
+        "events_rolling_wau",
+        lambda s, d: rolling_distinct_users(load_table(s, d, "events")),
+        _ROLLING_WAU_ORACLE,
     ),
 ]

@@ -253,3 +253,36 @@ def test_markov_transitions_hand_sequence(spark):
     assert got[("view", "click")] == (2, 666666)
     assert got[("view", "view")] == (1, 333333)
     assert got[("click", "view")] == (1, 1000000)
+
+
+def test_rolling_wau_hand_days(spark):
+    import datetime
+
+    from apd_map_reduce_spark.operators.intervals import rolling_distinct_users
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [(1, ts(1)), (2, ts(1)), (2, ts(5)), (3, ts(9))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.day: r.rolling_users for r in rolling_distinct_users(ev).collect()}
+    # Day 1: u1,u2. Day 5: u1(day1),u2. Day 9: u2(day5),u3 — u1 aged out.
+    assert got == {"2024-01-01": 2, "2024-01-05": 2, "2024-01-09": 2}
+
+
+def test_rolling_wau_window_override(spark):
+    import datetime
+
+    from apd_map_reduce_spark.operators.intervals import rolling_distinct_users
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1)),
+        (2, datetime.datetime(2024, 1, 3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.day: r.rolling_users
+        for r in rolling_distinct_users(ev, window_days=2).collect()
+    }
+    # 2-day window: day 3 only sees u2 (u1 active day 1 ages out).
+    assert got == {"2024-01-01": 1, "2024-01-03": 1}
