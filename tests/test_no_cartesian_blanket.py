@@ -31,6 +31,7 @@ SCALAR_BROADCAST_OK = {
     "ann_cosine_topk",
     "ann_int8_topk",
     "events_heavy_hitters",        # global event total (1 row)
+    "events_decayed_totals",       # newest-event anchor timestamp (1 row)
 }
 
 
