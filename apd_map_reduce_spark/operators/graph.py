@@ -212,6 +212,92 @@ WHERE (co.co_orders * 1000000) // (a.deg + b.deg - co.co_orders) >= {JACCARD_E6_
 """
 
 
+RULE_MIN_CONF_E6 = 300_000  # keep rules with confidence >= 0.3
+
+
+def assoc_rules(lineitem: DataFrame, min_quantity: float = MIN_QUANTITY,
+                min_conf_e6: int = RULE_MIN_CONF_E6) -> DataFrame:
+    """Directional association rules a -> b over order baskets
+    (Apriori at pair depth): support = co/N, confidence = co/deg(a),
+    lift = confidence / (deg(b)/N). All three reported as fixed-point
+    integers; lift is spelled ``(conf_e6 * N) div deg_b`` IDENTICALLY
+    in both engines, so the integer truncation is part of the declared
+    semantics rather than a float boundary.
+
+    Scale: same bounded per-order pair fan-out as the co-purchase
+    graph; both rule directions come from one symmetric expansion of
+    the a<b co-count relation (no second self-join)."""
+    items = (
+        lineitem.filter(F.col("l_quantity") >= min_quantity)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = items.alias("x"), items.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    both = co.unionAll(
+        co.select(F.col("b").alias("a"), F.col("a").alias("b"), "co")
+    )
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    da = deg.select(F.col("l_partkey").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        both.join(da, "a")
+        .join(db, "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("co").alias("co_orders"),
+            F.expr("(co * 1000000) div n_orders").alias("support_e6"),
+            F.expr("(co * 1000000) div deg_a").alias("confidence_e6"),
+            F.expr("(((co * 1000000) div deg_a) * n_orders) div deg_b").alias(
+                "lift_e6"
+            ),
+        )
+        .filter(F.col("confidence_e6") >= min_conf_e6)
+    )
+
+
+_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {MIN_QUANTITY}
+),
+co AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS co
+  FROM items x JOIN items y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+bidir AS (
+  SELECT a, b, co FROM co UNION ALL SELECT b AS a, a AS b, co FROM co
+),
+deg AS (SELECT l_partkey, COUNT(*) AS deg FROM items GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT bidir.a AS antecedent, bidir.b AS consequent, bidir.co AS co_orders,
+       (bidir.co * 1000000) // n.n_orders AS support_e6,
+       (bidir.co * 1000000) // da.deg AS confidence_e6,
+       (((bidir.co * 1000000) // da.deg) * n.n_orders) // db.deg AS lift_e6
+FROM bidir
+JOIN deg da ON da.l_partkey = bidir.a
+JOIN deg db ON db.l_partkey = bidir.b
+CROSS JOIN n
+WHERE (bidir.co * 1000000) // da.deg >= {RULE_MIN_CONF_E6}
+"""
+
+
 PR_SCALE = 10**12  # rank fixed-point scale
 PR_ITERS = 5
 PR_TOPK = 20
@@ -331,5 +417,10 @@ GRAPH_QUERIES = [
         "graph_item_jaccard",
         lambda s, d: item_jaccard(_li(s, d)),
         _JACCARD_ORACLE,
+    ),
+    QueryDef(
+        "graph_assoc_rules",
+        lambda s, d: assoc_rules(_li(s, d)),
+        _RULES_ORACLE,
     ),
 ]

@@ -131,3 +131,28 @@ def test_item_jaccard_threshold_filters(spark):
     )
     kept = item_jaccard(li, min_quantity=0, min_jaccard_e6=500_000).collect()
     assert [(r.part_a, r.part_b) for r in kept] == [(1, 2)]
+
+
+def test_assoc_rules_hand_baskets(spark):
+    from apd_map_reduce_spark.operators.graph import assoc_rules
+
+    # Baskets: o1={1,2}, o2={1,2}, o3={1,3}. N=3 orders.
+    rows = [
+        (1, 1, 50.0), (1, 2, 50.0),
+        (2, 1, 50.0), (2, 2, 50.0),
+        (3, 1, 50.0), (3, 3, 50.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    got = {
+        (r.antecedent, r.consequent): (r.support_e6, r.confidence_e6, r.lift_e6)
+        for r in assoc_rules(li, min_quantity=0, min_conf_e6=0).collect()
+    }
+    # 1->2: co=2, deg(1)=3, deg(2)=2: support 2/3, conf 2/3, lift conf*3/2.
+    assert got[(1, 2)] == (666666, 666666, 999999)
+    # 2->1: co=2, deg(2)=2: conf 1, lift 1*3/3 = 1.
+    assert got[(2, 1)] == (666666, 1000000, 1000000)
+    # 3->1: co=1, deg(3)=1: conf 1, lift 3/3 = 1.
+    assert got[(3, 1)] == (333333, 1000000, 1000000)
+    assert got[(1, 3)] == (333333, 333333, 999999)

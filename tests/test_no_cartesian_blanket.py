@@ -32,6 +32,7 @@ SCALAR_BROADCAST_OK = {
     "ann_int8_topk",
     "events_heavy_hitters",        # global event total (1 row)
     "events_decayed_totals",       # newest-event anchor timestamp (1 row)
+    "graph_assoc_rules",           # basket-count N for support/lift (1 row)
 }
 
 
