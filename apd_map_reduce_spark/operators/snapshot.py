@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
@@ -116,6 +117,61 @@ FROM {table}
 """
 
 
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD Type-2 dimension compaction from an observation stream:
+    collapse each user's consecutive identical event_type observations
+    into validity intervals (user_id, event_type, valid_from, valid_to,
+    is_current) — the warehouse-history primitive CDC feeds build.
+
+    A row opens whenever the observed value differs from the previous
+    observation (change point); it closes at the NEXT change point's
+    timestamp; the last interval per user is open (NULL valid_to,
+    is_current = true). Ordering is (ts, event_id) so timestamp ties
+    are deterministic; timestamps render as microsecond strings (the
+    cross-engine rule — raw timestamps are never emitted).
+
+    Scale: two window passes over the same (user_id)-partitioning —
+    Catalyst plans ONE exchange; state per user is a single row. No
+    join, no collect."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
 _LINEITEM_CK_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"]
 
 
@@ -125,5 +181,10 @@ SNAPSHOT_QUERIES = [
         "snapshot_table_checksum",
         lambda s, d: table_checksum(load_table(s, d, "lineitem"), _LINEITEM_CK_COLS),
         _checksum_oracle("lineitem", _LINEITEM_CK_COLS),
+    ),
+    QueryDef(
+        "events_scd2_history",
+        lambda s, d: scd2_history(load_table(s, d, "events")),
+        SCD2_ORACLE,
     ),
 ]

@@ -23,3 +23,29 @@ def test_snapshot_diff_classifies_all_cases(spark):
 def test_snapshot_diff_empty_delta(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert snapshot_diff(df, df, key="doc_id", payload="text").count() == 0
+
+
+def test_scd2_history_collapses_runs(spark):
+    import datetime
+
+    from apd_map_reduce_spark.operators.snapshot import scd2_history
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), 1, "view"), (2, t(1), 1, "view"), (3, t(2), 1, "click"),
+        (4, t(3), 1, "click"), (5, t(4), 1, "view"),
+        (6, t(0), 2, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = sorted(
+        scd2_history(ev).collect(), key=lambda r: (r.user_id, r.valid_from)
+    )
+    # User 1: view[0,2) click[2,4) view[4,open); user 2: error[0,open).
+    assert [(r.user_id, r.event_type, r.is_current) for r in got] == [
+        (1, "view", False), (1, "click", False), (1, "view", True),
+        (2, "error", True),
+    ]
+    assert got[0].valid_to == got[1].valid_from  # intervals chain
+    assert got[2].valid_to is None and got[3].valid_to is None
