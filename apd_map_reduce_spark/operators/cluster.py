@@ -174,6 +174,100 @@ SELECT vec_id, cluster_id, d AS dist6 FROM a2 WHERE rn = 1
 """
 
 
+PQ_M = 4              # subspaces
+PQ_K = 8              # codes per subspace
+PQ_SUB = DIM // PQ_M  # dims per subspace
+
+
+def pq_codebooks(
+    m: int = PQ_M, k: int = PQ_K, sub: int = PQ_SUB
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic md5-derived PQ codebooks — one k x sub codebook
+    per subspace (namespace 'pq:' keeps them distinct from the k-means
+    seeds). Real pipelines train these with per-subspace k-means; the
+    assignment machinery below is identical either way."""
+    books = []
+    for mi in range(m):
+        book = []
+        for c in range(k):
+            row = []
+            for d in range(sub):
+                h = int(
+                    hashlib.md5(f"pq:{mi}:{c}:{d}".encode()).hexdigest()[:15], 16
+                )
+                row.append(round((h / float(1 << 60)) * 2.0 - 1.0, 6))
+            book.append((c, row))
+        books.append(book)
+    return books
+
+
+def pq_assign(emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    PQ_M contiguous subspaces and snap each to its nearest codebook
+    entry — (vec_id, code_1..code_M, qerr6). The PQ code tuple is the
+    compressed representation ANN indexes (IVF-PQ) store instead of
+    the raw vector: 64 floats -> 4 small ints here.
+
+    Determinism: per-subspace distances are rounded to 6 dp before the
+    argmin (code-id tie-break), exactly like the k-means assignment;
+    the reported quantization error is the same four rounded doubles
+    added in one fixed left-to-right order — deterministic scalar
+    arithmetic in both engines.
+
+    Scale: codebooks are literals compiled into the projection —
+    assignment is scan-only, zero joins, zero shuffles, and
+    column-prunes to (vec_id, embedding)."""
+    books = pq_codebooks()
+    df = emb
+    for mi, book in enumerate(books):
+        sub = F.transform(
+            F.slice(F.col(emb_col), mi * PQ_SUB + 1, PQ_SUB),
+            lambda x: x.cast("double"),
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.round(_l2(F.array(*[F.lit(v) for v in row]), sub), 6).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, row in book
+            ]
+        )
+        best = F.element_at(F.array_sort(pairs), 1)
+        df = df.withColumn(f"code_{mi + 1}", best["cid"]).withColumn(
+            f"_d{mi + 1}", best["d"]
+        )
+    qerr = F.round(
+        F.col("_d1") + F.col("_d2") + F.col("_d3") + F.col("_d4"), 6
+    )
+    return df.select(
+        "vec_id", *[f"code_{i + 1}" for i in range(PQ_M)], qerr.alias("qerr6")
+    )
+
+
+def _pq_oracle() -> str:
+    books = pq_codebooks()
+    sels = []
+    for mi, book in enumerate(books):
+        lo, hi = mi * PQ_SUB + 1, (mi + 1) * PQ_SUB
+        structs = ", ".join(
+            "{'d': ROUND(list_distance(emb[%d:%d], [%s]), 6), 'cid': CAST(%d AS BIGINT)}"
+            % (lo, hi, ", ".join(f"{v!r}" for v in row), cid)
+            for cid, row in book
+        )
+        sels.append(f"(list_sort([{structs}]))[1] AS s{mi + 1}")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+a AS (SELECT vec_id, {", ".join(sels)} FROM b)
+SELECT vec_id,
+       s1.cid AS code_1, s2.cid AS code_2, s3.cid AS code_3, s4.cid AS code_4,
+       ROUND(s1.d + s2.d + s3.d + s4.d, 6) AS qerr6
+FROM a
+"""
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -183,5 +277,10 @@ CLUSTER_QUERIES = [
         "kmeans_lloyd_assign",
         lambda s, d: kmeans_assign(_emb(s, d)),
         _kmeans_oracle(),
+    ),
+    QueryDef(
+        "embedding_pq_codes",
+        lambda s, d: pq_assign(_emb(s, d)),
+        _pq_oracle(),
     ),
 ]

@@ -107,3 +107,23 @@ def test_cluster_stats_counts_sum_to_corpus(spark):
         per_pos.setdefault(r.pos, 0)
         per_pos[r.pos] += r.n_members
     assert set(per_pos.values()) == {40}
+
+
+def test_pq_codes_exact_codebook_vectors(spark):
+    from apd_map_reduce_spark.operators.cluster import pq_assign, pq_codebooks
+
+    books = pq_codebooks()
+    # A vector stitched from one entry per subspace quantizes to exactly
+    # those codes with zero reconstruction error.
+    picks = [3, 0, 5, 7]
+    vec = []
+    for mi, c in enumerate(picks):
+        vec.extend(books[mi][c][1])
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in vec])], "vec_id long, embedding array<float>"
+    )
+    row = pq_assign(emb).collect()[0]
+    assert [row.code_1, row.code_2, row.code_3, row.code_4] == picks
+    # float32 storage wobbles each component by <= ~6e-8; round-6 L2
+    # over 16 dims stays well under 1e-5.
+    assert row.qerr6 <= 1e-4
