@@ -128,10 +128,100 @@ FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
 """
 
 
+# Gopher-style rule thresholds (Rae et al. 2021 Table A1 shape, bounds
+# adapted to this corpus's short synthetic docs). Every rule compares
+# INTEGER-EXACT counts cross-multiplied against rational thresholds —
+# no float appears anywhere, so the booleans are trivially
+# engine-identical.
+GOPHER_MIN_TOKENS = 15
+GOPHER_MAX_TOKENS = 100_000
+_EN_STOP_PAT = r"(?i)\b(the|and|of|is|a)\b"
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Named Gopher-style document filter: per-doc boolean rule flags
+    plus the conjunction (`passes_gopher`). Rules:
+      * word count in [GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS];
+      * mean word length in [3, 10] chars  (3*n_words <= n_alpha <= 10*n_words);
+      * symbol-to-token ratio <= 0.1       (10*(digits+punct) <= n_tokens);
+      * alphabetic-word ratio >= 0.8       (5*n_words >= 4*n_tokens);
+      * at least 2 stopword hits.
+
+    Scale: a single narrow projection (regexp counts + integer
+    comparisons), whole-stage codegen, no shuffle, prunes to
+    (doc_id, text)."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    n_words = F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long")
+    n_alpha = F.regexp_count("text", F.lit("[A-Za-z]")).cast("long")
+    n_digits = F.regexp_count("text", F.lit("[0-9]")).cast("long")
+    n_punct = F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")).cast("long")
+    n_stop = F.regexp_count("text", F.lit(_EN_STOP_PAT)).cast("long")
+    counts = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha"),
+        n_digits.alias("n_digits"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    r_count = (F.col("n_tokens") >= GOPHER_MIN_TOKENS) & (
+        F.col("n_tokens") <= GOPHER_MAX_TOKENS
+    )
+    r_wordlen = (3 * F.col("n_words") <= F.col("n_alpha")) & (
+        F.col("n_alpha") <= 10 * F.col("n_words")
+    )
+    r_symbol = 10 * (F.col("n_digits") + F.col("n_punct")) <= F.col("n_tokens")
+    r_alpha = 5 * F.col("n_words") >= 4 * F.col("n_tokens")
+    r_stop = F.col("n_stop") >= 2
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        r_count.alias("ok_token_count"),
+        r_wordlen.alias("ok_word_length"),
+        r_symbol.alias("ok_symbol_ratio"),
+        r_alpha.alias("ok_alpha_ratio"),
+        r_stop.alias("ok_stopwords"),
+        (r_count & r_wordlen & r_symbol & r_alpha & r_stop).alias("passes_gopher"),
+    )
+
+
+GOPHER_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{_EN_STOP_PAT}')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+         AS ok_token_count,
+       3 * n_words <= n_alpha AND n_alpha <= 10 * n_words AS ok_word_length,
+       10 * (n_digits + n_punct) <= n_tokens AS ok_symbol_ratio,
+       5 * n_words >= 4 * n_tokens AS ok_alpha_ratio,
+       n_stop >= 2 AS ok_stopwords,
+       (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS})
+         AND (3 * n_words <= n_alpha AND n_alpha <= 10 * n_words)
+         AND (10 * (n_digits + n_punct) <= n_tokens)
+         AND (5 * n_words >= 4 * n_tokens)
+         AND (n_stop >= 2) AS passes_gopher
+FROM c
+"""
+
+
 QUALITY_QUERIES = [
     QueryDef(
         "text_repetition_signals",
         lambda s, d: repetition_signals(load_table(s, d, "documents")),
         REPETITION_ORACLE,
+    ),
+    QueryDef(
+        "text_gopher_rules",
+        lambda s, d: gopher_rules(load_table(s, d, "documents")),
+        GOPHER_ORACLE,
     ),
 ]

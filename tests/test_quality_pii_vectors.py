@@ -143,3 +143,22 @@ def test_label_centroids_exact_integer_sums(spark):
     assert out[(7, 1)] == (2, 2_000_000)  # floor(1.5e6) + floor(0.5e6)
     assert out[(7, 2)] == (2, -250_000 + 750_000)
     assert out[(8, 1)] == (1, 2_000_000)
+
+
+def test_gopher_rules_hand_docs(spark):
+    from apd_map_reduce_spark.operators.quality import gopher_rules
+
+    good = "the cat and the dog of a house is a fine thing to keep " \
+           "around every single day"                      # 17 tokens, stopwords
+    short = "the and of is a"                              # fails token count
+    symbols = "the and of is a " + "!! 77 " * 6 + "word " * 10  # symbol-heavy
+    nostop = "zebra quartz jumble vortex plasma nebula quasar " * 3  # no stopwords
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nostop)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].passes_gopher
+    assert not got[2].ok_token_count and not got[2].passes_gopher
+    assert not got[3].ok_symbol_ratio and not got[3].passes_gopher
+    assert not got[4].ok_stopwords and not got[4].passes_gopher
