@@ -617,8 +617,82 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+INCR_BATCH_MOD = 7  # doc_id % 7 == 0 plays the "incoming batch" role
+
+
+def dedup_incremental(
+    corpus: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Incremental-ingest dedup: classify every INCOMING doc against
+    the EXISTING corpus by content digest — 'exact_dup' (content
+    already in the corpus), 'batch_dup' (first copy seen inside this
+    batch wins, later copies flagged), or 'new'. This is the
+    production ingestion shape: the corpus is never re-deduplicated;
+    the batch is screened against it.
+
+    Scale: the corpus reduces to a DISTINCT digest relation (16-byte
+    rows) before any join; both checks are keyed joins on uniform md5
+    digests — a left-semi against corpus digests and a min-doc_id
+    window within the batch. No all-pairs anything."""
+    corpus_digests = corpus.select(F.md5("text").alias("content_hash")).distinct()
+    b = batch.select("doc_id", F.md5("text").alias("content_hash"))
+    first_in_batch = b.groupBy("content_hash").agg(
+        F.min("doc_id").alias("first_doc_id")
+    )
+    flagged = (
+        b.join(
+            corpus_digests.withColumn("in_corpus", F.lit(True)),
+            "content_hash",
+            "left",
+        )
+        .join(first_in_batch, "content_hash")
+    )
+    return flagged.select(
+        "doc_id",
+        "content_hash",
+        F.when(F.col("in_corpus"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("first_doc_id"), F.lit("batch_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
+def _dedup_incremental_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return dedup_incremental(corpus, batch)
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} = 0
+),
+corpus_digests AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} <> 0
+),
+firsts AS (
+  SELECT content_hash, MIN(doc_id) AS first_doc_id FROM batch GROUP BY 1
+)
+SELECT b.doc_id, b.content_hash,
+       CASE WHEN c.content_hash IS NOT NULL THEN 'exact_dup'
+            WHEN b.doc_id <> f.first_doc_id THEN 'batch_dup'
+            ELSE 'new' END AS status
+FROM batch b
+LEFT JOIN corpus_digests c ON c.content_hash = b.content_hash
+JOIN firsts f ON f.content_hash = b.content_hash
+"""
+
+
 DEDUP_QUERIES = [
     QueryDef("dedup_exact", lambda s, d: dedup_exact(_docs(s, d)), DEDUP_EXACT_ORACLE),
+    QueryDef(
+        "dedup_incremental_batch",
+        _dedup_incremental_docs,
+        DEDUP_INCREMENTAL_ORACLE,
+    ),
     QueryDef(
         "dedup_ngram_jaccard",
         lambda s, d: ngram_jaccard_pairs(_docs(s, d)),

@@ -38,3 +38,22 @@ def test_snapshot_roundtrip(spark, tmp_path):
     assert set(back.columns) == set(docs.columns)
     keep = {r.doc_id for r in clean_corpus(docs).select("doc_id").collect()}
     assert {r.doc_id for r in back.select("doc_id").collect()} == keep
+
+
+def test_dedup_incremental_classifies_three_ways(spark):
+    from apd_map_reduce_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta"),    # already in corpus -> exact_dup
+            (2, "fresh content"), # new
+            (3, "fresh content"), # dup WITHIN the batch -> batch_dup
+            (4, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in dedup_incremental(corpus, batch).collect()}
+    assert got == {1: "exact_dup", 2: "new", 3: "batch_dup", 4: "new"}
