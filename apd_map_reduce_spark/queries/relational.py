@@ -2576,6 +2576,74 @@ FROM o FULL OUTER JOIN e ON o.k = e.k
 """
 
 
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of (quantity, extendedprice,
+    discount) in ONE aggregation pass: all nine sums come from exact
+    decimal accumulation (order-free), the three closed-form
+    correlations run in double with identical op order in both
+    engines, then round — the stats_regression discipline extended to
+    the multi-column profile a feature-engineering pass wants."""
+    l = _t(spark, sf_dir, "lineitem")
+    q = dec2("l_quantity")
+    p = dec2("l_extendedprice")
+    d = dec2("l_discount")
+    agg = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(q)).alias("sq"),
+        as_double(F.sum(p)).alias("sp"),
+        as_double(F.sum(d)).alias("sd"),
+        as_double(F.sum(q * q)).alias("sqq"),
+        as_double(F.sum(p * p)).alias("spp"),
+        as_double(F.sum(d * d)).alias("sdd"),
+        as_double(F.sum(q * p)).alias("sqp"),
+        as_double(F.sum(q * d)).alias("sqd"),
+        as_double(F.sum(p * d)).alias("spd"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return agg.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
+    )
+
+
+CORR_MATRIX_ORACLE = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+  FROM lineitem
+)
+SELECT n,
+       ROUND((n * sqp - sq * sp)
+         / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price,
+       ROUND((n * sqd - sq * sd)
+         / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS corr_qty_discount,
+       ROUND((n * spd - sp * sd)
+         / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_discount
+FROM a
+"""
+
+
 def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily open-order backlog gauge: each order opens at o_orderdate
     and closes when its last line item ships (max l_shipdate). The
@@ -2720,4 +2788,5 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     ),
     QueryDef("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE),
     QueryDef("orders_open_backlog", orders_open_backlog, BACKLOG_ORACLE),
+    QueryDef("stats_corr_matrix", stats_corr_matrix, CORR_MATRIX_ORACLE),
 ]

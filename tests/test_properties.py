@@ -95,3 +95,21 @@ def test_pagerank_mass_and_floor(spark):
     tele = (15 * PR_SCALE // 100) // n
     assert all(r.rank_scaled >= tele for r in ranks)
     assert sum(r.rank_scaled for r in ranks) <= PR_SCALE
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from apd_map_reduce_spark.queries.relational import stats_corr_matrix
+
+    from .conftest import SF_SMOKE
+
+    row = stats_corr_matrix(spark, SF_SMOKE).collect()[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ref = np.corrcoef(
+        np.vstack([li["l_quantity"], li["l_extendedprice"], li["l_discount"]])
+    )
+    assert abs(row.corr_qty_price - ref[0, 1]) < 1e-5
+    assert abs(row.corr_qty_discount - ref[0, 2]) < 1e-5
+    assert abs(row.corr_price_discount - ref[1, 2]) < 1e-5
