@@ -145,7 +145,7 @@ def decayed_user_totals(events: DataFrame, cap_days: int = DECAY_CAP_DAYS) -> Da
     # part that can grow, so it runs in DECIMAL(38,0) (HUGEINT-backed
     # SUM(BIGINT) on the DuckDB side) — exact on both engines.
     contrib = F.expr(
-        f"CAST(cents * CAST(pow(2, {DECAY_CAP_DAYS} - age_days) AS BIGINT)"
+        f"CAST(cents * CAST(pow(2, {cap_days} - age_days) AS BIGINT)"
         " AS DECIMAL(38,0))"
     )
     denom = float((2**cap_days) * 100)

@@ -62,6 +62,24 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _ascii_only(docs: DataFrame) -> DataFrame:
+    """Enforced invariant for the byte-level stubs whose oracles reason
+    in characters: keep only pure-ASCII docs, where UTF-8 byte offsets ==
+    char offsets and byte values == codepoints. Predicate is
+    octet_length(utf-8) == char_length — true iff every char is ASCII —
+    and is applied IDENTICALLY in the DuckDB oracles, so a non-ASCII doc
+    is excluded on both sides rather than silently diverging (bytes vs
+    codepoints). On the synthetic corpus (all ASCII) this drops nothing."""
+    return docs.filter(
+        F.octet_length(F.encode("text", "utf-8")) == F.char_length("text")
+    )
+
+
+# The matching oracle-side predicate (DuckDB: strings are UTF-8;
+# octet_length(encode(x)) is bytes, length(x) is chars).
+ASCII_PRED = "octet_length(encode(text)) = length(text)"
+
+
 def multimodal_metadata(docs: DataFrame) -> DataFrame:
     """Binary-column pipeline: text → utf-8 payload (stand-in for image
     bytes) → mapInPandas metadata extraction."""
@@ -128,7 +146,9 @@ def _frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def multimodal_thumbnails(docs: DataFrame) -> DataFrame:
-    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    binary = _ascii_only(docs).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
     return binary.mapInPandas(_resize_stub, THUMB_SCHEMA)
 
 
@@ -149,7 +169,9 @@ def multimodal_thumbnails_csv(docs: DataFrame) -> DataFrame:
 
 
 def multimodal_frame_sample(docs: DataFrame) -> DataFrame:
-    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    binary = _ascii_only(docs).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
     return binary.mapInPandas(_frame_sample_stub, FRAMES_SCHEMA)
 
 
@@ -160,7 +182,7 @@ FRAMES_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
          greatest(octet_length(encode(text)) // {FRAME_COUNT}, 1) AS step
-  FROM documents
+  FROM documents WHERE {ASCII_PRED}
 ),
 frames AS (
   SELECT doc_id,
@@ -191,7 +213,7 @@ WITH base AS (
          octet_length(encode(text)) AS n_bytes,
          greatest(greatest(octet_length(encode(text)), 1) // {THUMB_CELLS}, 1) AS step,
          list_transform(string_split(text, ''), c -> ascii(c)) AS codes
-  FROM documents
+  FROM documents WHERE {ASCII_PRED}
 )
 SELECT doc_id,
        array_to_string(
@@ -237,17 +259,19 @@ def _audio_stats_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def multimodal_audio_stats(docs: DataFrame) -> DataFrame:
-    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    binary = _ascii_only(docs).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
     return binary.mapInPandas(_audio_stats_stub, AUDIO_SCHEMA)
 
 
 # Audio oracle: samples are ascii(code) - 128 on the ASCII payloads, so
 # peak/energy are per-doc integer aggregates and zero crossings a lag
 # comparison over the unnested sample sequence.
-AUDIO_ORACLE = """
+AUDIO_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c) - 128) AS v
-  FROM documents
+  FROM documents WHERE {ASCII_PRED}
 ),
 s AS (
   SELECT doc_id, i, v[i] AS x

@@ -676,6 +676,18 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.sum("n_events").alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    ).filter(
+        # Guard against NaN z-scores: a type with a single hourly bucket
+        # (c=1 → 0/0) or zero variance (q*c == s*s → x/0) would emit NaN,
+        # which Spark and DuckDB both sort above all numbers — abs(NaN)>=2.5
+        # is true in both, but the VALUE hash would then depend on NaN
+        # formatting. Exact integer predicate (decimal to dodge int64
+        # overflow at scale), identical in the oracle.
+        (F.col("c") >= 2)
+        & (
+            F.col("q").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+            > F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        )
     )
     mean = F.col("s").cast("double") / F.col("c").cast("double")
     var = (
@@ -702,6 +714,9 @@ stats AS (
   SELECT event_type, COUNT(*)::BIGINT AS c, CAST(SUM(n_events) AS BIGINT) AS s,
          CAST(SUM(n_events * n_events) AS BIGINT) AS q
   FROM hourly GROUP BY event_type
+  HAVING COUNT(*) >= 2
+     AND CAST(SUM(n_events * n_events) AS DECIMAL(38,0)) * COUNT(*)
+         > CAST(SUM(n_events) AS DECIMAL(38,0)) * CAST(SUM(n_events) AS DECIMAL(38,0))
 ),
 scored AS (
   SELECT hour, h.event_type, n_events,

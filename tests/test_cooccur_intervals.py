@@ -214,6 +214,27 @@ def test_decayed_totals_age_cap(spark):
     assert got.decayed_value == 1.0
 
 
+def test_decayed_totals_custom_cap_days(spark):
+    # Regression (ADVICE r3): the contribution expression hard-coded
+    # DECAY_CAP_DAYS while the clamp/denominator used cap_days, so any
+    # non-default cap silently computed wrong weights.
+    import datetime
+
+    from apd_map_reduce_spark.operators.intervals import decayed_user_totals
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, t0, 8.0),            # age 0 -> weight 1
+        (1, t0 - day, 8.0),      # age 1 -> weight 1/2
+        (1, t0 - 9 * day, 4.0),  # age 9 -> clamps to cap 4 -> weight 1/16
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = decayed_user_totals(ev, cap_days=4).collect()[0]
+    assert got.n_events == 3
+    assert got.decayed_value == 8.0 + 4.0 + 0.25
+
+
 def test_bigram_logprob_hand_docs(spark):
     import math
 
