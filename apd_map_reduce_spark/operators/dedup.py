@@ -384,10 +384,16 @@ def minhash_lsh_pairs(
     # (At cluster scale, additionally semi-filtering sa/sb down to
     # candidate doc ids — with `candidates` cached — keeps the
     # composite-key join from shuffling the full shingle relation;
-    # measured counterproductive at local test scale, where the extra
-    # candidate evaluation costs more than the 1M-row shuffle it saves:
-    # 6.1 s vs 5.2 s at sf0.1. Same verdict for per-doc collect_list +
-    # array_intersect verification: 9.0 s vs 5.2 s, result-identical.)
+    # re-measured under the protocol of record (noop sink + clearCache,
+    # sf0.1, interleaved min/median-of-5): median 5.2 s vs 4.3 s —
+    # still counterproductive at local test scale, where the extra
+    # candidate materialization costs more than the shuffle it saves.
+    # Same verdict, same protocol, for the no-explode formulation that
+    # keeps shingles as per-doc arrays (signature = 16 array_min
+    # projections, verification = array_intersect on candidate pairs):
+    # 26.8 s vs 4.0 s — higher-order array functions are interpreted
+    # per element, not codegen'd, so the "zero-shuffle" signature pass
+    # loses by an order of magnitude to the exploded ObjectHashAggregate.)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -43,26 +43,34 @@ def main() -> None:
         run(q.fn(spark, sf_dir))
     spark.catalog.clearCache()
 
-    # Min-of-2 per query: single-pass wall time on this box swings
-    # ±20-25% (JVM/GC/OS noise), which had made round-over-round totals
-    # incomparable. Same rationale and protocol as scripts/speedup_gate
-    # (which applies min-of-N identically to both sides); the per-query
-    # action (noop sink, full plan) and warm protocol are unchanged.
-    PASSES = 2
+    # Min-of-3 per query, median reported alongside: single-pass wall
+    # time on this box swings far more than ±25% (identical code
+    # measured 4.3 s and 15.1 s for the same query across rounds under
+    # external load; an isolated pass mid-suite spiked 2.9 s → 8.8 s) —
+    # min-of-2 was not enough to make round-over-round per-query
+    # comparisons meaningful. Min stays the headline statistic (it is
+    # the closest observable to the plan's intrinsic cost and is
+    # back-comparable to every prior round's artifact); the median
+    # exposes how noisy each query's passes were, so a round-over-round
+    # delta can be read against the spread instead of trusted blindly.
+    # Per-query action (noop sink, full plan) and warm protocol
+    # unchanged; caches are dropped between passes so every pass
+    # rebuilds its own (they are dead weight, and letting them pile up
+    # makes later queries measure storage-eviction pressure instead of
+    # their own plan).
+    PASSES = 3
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for q in headline_queries():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(PASSES):
             t0 = time.time()
             run(q.fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-            # Drop the query's internal caches between timed passes and
-            # before the next query: they are dead weight (every run
-            # rebuilds its own), and letting them pile up makes later
-            # queries measure storage-eviction pressure instead of
-            # their own plan.
+            samples.append(time.time() - t0)
             spark.catalog.clearCache()
-        timings[q.name] = round(best, 3)
+        samples.sort()
+        timings[q.name] = round(samples[0], 3)
+        medians[q.name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -72,6 +80,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
