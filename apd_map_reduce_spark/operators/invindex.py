@@ -108,7 +108,14 @@ def write_letter_files(index: DataFrame, out_dir: str) -> None:
         # Lead with `letter`: the partitioned-file writer requires its
         # input sorted by partition columns and would otherwise insert
         # its own (unstable) sort, clobbering the (df, word) order.
-        formatted.repartition("letter")
+        # Explicit 26 partitions — the sink's natural key count (one
+        # task per output file), NOT spark.sql.shuffle.partitions: the
+        # CLI sets shuffle.partitions = R for the word aggregation, and
+        # letting the sink inherit R=1/R=2 serialized the letter writes
+        # behind 1-2 tasks. One task per letter lets the scheduler pack
+        # all 26 onto however many cores exist (A/B at the checker
+        # corpus: faster at EVERY (M,R), sequential included).
+        formatted.repartition(26, "letter")
         .sortWithinPartitions(F.asc("letter"), F.desc("df"), F.asc("word"))
         .select("letter", "text_line")
         .write.mode("overwrite")

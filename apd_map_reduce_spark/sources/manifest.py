@@ -23,21 +23,27 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = "file_id INT, path STRING"
 
 
-def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Parse the reference manifest format: line 1 = N, then N paths.
-
-    Returns DataFrame[file_id INT (1-based ordinal), path STRING (absolute)].
-    """
+def parse_manifest(manifest_path: str) -> list[tuple[int, str]]:
+    """Parse the reference manifest format (line 1 = N, then N paths)
+    driver-side into [(file_id, absolute_path)] — the manifest is
+    O(file count) by contract, so this is a tiny local read."""
     base = os.path.dirname(os.path.abspath(manifest_path))
     with open(manifest_path, encoding="utf-8") as fh:
         lines = [ln.strip() for ln in fh if ln.strip()]
     n = int(lines[0])
     paths = lines[1 : n + 1]
-    rows = [
+    return [
         (i + 1, p if os.path.isabs(p) else os.path.normpath(os.path.join(base, p)))
         for i, p in enumerate(paths)
     ]
-    return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Parse the reference manifest format: line 1 = N, then N paths.
+
+    Returns DataFrame[file_id INT (1-based ordinal), path STRING (absolute)].
+    """
+    return spark.createDataFrame(parse_manifest(manifest_path), MANIFEST_SCHEMA)
 
 
 def read_corpus_whole(spark: SparkSession, manifest: DataFrame) -> DataFrame:
@@ -63,14 +69,23 @@ def read_corpus_whole(spark: SparkSession, manifest: DataFrame) -> DataFrame:
     return files.join(F.broadcast(dim), "_src", "inner").select("file_id", "line")
 
 
-def read_corpus(spark: SparkSession, manifest: DataFrame) -> DataFrame:
+def read_corpus(
+    spark: SparkSession, manifest: DataFrame, paths: list[str] | None = None
+) -> DataFrame:
     """Read every manifest file as lines, tagged with its ordinal file_id.
 
     Returns DataFrame[file_id INT, line STRING]. The manifest side is
     broadcast (tiny dim) so the tag is a map-side hash join — no shuffle
     of the corpus itself.
+
+    `paths` (optional): the manifest's path list when the caller already
+    has it driver-side (e.g. from `parse_manifest`) — skips the collect
+    job that would otherwise be the cold JVM's first action. Cold-start
+    cost matters for the reference-checker protocol, which launches a
+    fresh process per (M,R) config.
     """
-    paths = [r.path for r in manifest.select("path").collect()]
+    if paths is None:
+        paths = [r.path for r in manifest.select("path").collect()]
     lines = spark.read.text(paths).select(
         F.col("value").alias("line"),
         # Normalize file:/// URI back to a plain absolute path for the join key.

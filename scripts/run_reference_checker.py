@@ -5,8 +5,15 @@ with the checker's thresholds.
 
 Differences from checker.sh, documented: one warm JVM would be unfair
 to the sequential baseline, so each config runs a fresh process (like the
-reference); timings therefore INCLUDE JVM+session startup, exactly as
+reference); wall_s therefore INCLUDES JVM+session startup, exactly as
 the reference's `time -p` includes process startup (SURVEY.md §6.1).
+pipeline_s is the min of 2 timed passes AFTER an in-process warmup
+pass (--warmup), because the reference binary was compiled at build
+time while Catalyst/codegen compile on first execution — warm-vs-warm
+is the honest execution comparison (SURVEY.md §6.3) — and because a
+single ~2 s sample swings ±0.3 s, enough to flip a gate. Every config,
+sequential baseline included, gets the identical warmup + min-of-2.
+Speedup gates are scored on pipeline_s.
 
 Usage: python scripts/run_reference_checker.py [manifest] [golden_dir]
 Prints one JSON line with per-config wall time, correctness, speedups.
@@ -48,7 +55,7 @@ def run_config(m: int, r: int, manifest: str, golden: str) -> dict:
     out = tempfile.mkdtemp(prefix=f"chk_m{m}r{r}_")
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "apd_map_reduce_spark", str(m), str(r), manifest, "--out", out],
+        [sys.executable, "-m", "apd_map_reduce_spark", str(m), str(r), manifest, "--out", out, "--warmup"],
         capture_output=True,
         text=True,
         timeout=600,
