@@ -77,8 +77,29 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    tail_after = None
+    if "--tail-after" in args:
+        # Driver-window complement mode (VERDICT r3 #3): the external
+        # harness checks roughly the first 50 registry queries in
+        # declaration order, so everything after its last-checked name
+        # only ever gets selfcheck evidence. `--tail-after NAME` selects
+        # every query AFTER the named one in declaration order — run
+        # with CHECK_ORACLE_JSON to produce the committed
+        # SELFCHECK_TAIL_r{N}.json artifact covering exactly that tail
+        # under the exact driver protocol (rows+schema+hash).
+        i = args.index("--tail-after")
+        tail_after = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if tail_after is not None:
+        names = [q.name for q in ALL_QUERIES]
+        if tail_after not in names:
+            print(f"unknown --tail-after query {tail_after!r}", file=sys.stderr)
+            return 2
+        only = set(names[names.index(tail_after) + 1 :])
+        print(f"tail mode: {len(only)} queries after {tail_after}")
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
