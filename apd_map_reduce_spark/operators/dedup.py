@@ -289,6 +289,35 @@ def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFram
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_relation(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from a k=16 signature relation.
+
+    ONE pass over sig: explode an array of (band, band_hash) structs.
+    A 4-way union would replicate the signature aggregation subtree
+    per branch (and per join side) in the plan."""
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{band * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -343,30 +372,7 @@ def minhash_lsh_pairs(
     # generation AND candidate verification.
     sh = doc_shingle_hashes(rep_docs).cache()
     sig = minhash_signatures(rep_docs, sh=sh)
-    rows_per_band = N_MINHASH // LSH_BANDS
-    # ONE pass over sig: explode an array of (band, band_hash) structs.
-    # A 4-way union would replicate the signature aggregation subtree
-    # per branch (and per join side) in the plan.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{band * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for band in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
-    )
+    bands = band_relation(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -692,12 +698,153 @@ JOIN firsts f ON f.content_hash = b.content_hash
 """
 
 
+def dedup_incremental_neardup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Incremental NEAR-dup screening: find incoming batch documents
+    whose shingle-Jaccard similarity to some existing corpus document
+    meets `threshold` — the production ingestion shape for semantic
+    dedup, complementing `dedup_incremental`'s exact-digest screen.
+
+    Result: (batch_doc, corpus_doc, jaccard) — every qualifying
+    cross-side pair (a batch doc can match several corpus docs).
+
+    Scale design: the corpus never joins the batch directly. The corpus
+    reduces to its banded LSH index (4 rows/doc of (band, band_hash) —
+    in production this relation is PERSISTED once and reused across
+    batches, exactly like the digest store in `dedup_incremental`);
+    candidates come from the batch-bands ⋈ corpus-bands equi-join
+    (shuffle keyed by band hash, fan-out bounded by band-key
+    frequency), and only candidates are verified with exact Jaccard
+    over the two shingle relations — keyed joins throughout, never a
+    batch × corpus product. Screen the corpus with `dedup_exact` first
+    (store one representative per digest) so m identical corpus docs
+    can't make a band key m-hot — same guard `minhash_lsh_pairs`
+    applies internally.
+
+    Recall contract is LSH's: a cross-side pair is reported only if it
+    collides in ≥1 of the 4 bands (same contract as
+    `dedup_minhash_lsh`; the oracle mirrors it)."""
+    csh = doc_shingle_hashes(corpus).cache()
+    bsh = doc_shingle_hashes(batch).cache()
+    cband = band_relation(minhash_signatures(corpus, sh=csh))
+    bband = band_relation(minhash_signatures(batch, sh=bsh))
+    candidates = (
+        bband.alias("b")
+        .join(
+            cband.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    bcounts = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    ccounts = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+    sb = bsh.select(F.col("doc_id").alias("batch_doc"), "sh")
+    sc = csh.select(F.col("doc_id").alias("corpus_doc"), "sh")
+    common = (
+        candidates.join(sb, "batch_doc")
+        .join(sc, ["corpus_doc", "sh"])
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            bcounts.select(F.col("doc_id").alias("batch_doc"), "n_b"), "batch_doc"
+        )
+        .join(
+            ccounts.select(F.col("doc_id").alias("corpus_doc"), "n_c"), "corpus_doc"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_doc", "corpus_doc", "jaccard")
+    )
+
+
+def _dedup_incremental_neardup_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return dedup_incremental_neardup(corpus, batch)
+
+
+def _incremental_neardup_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
+    sig_aggs = ",\n    ".join(
+        f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
+        for seed, (a, b) in enumerate(_MH_PARAMS)
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, side, {band} AS band, md5({expr}) AS band_hash FROM sig".format(
+            band=band,
+            expr=" || ',' || ".join(
+                f"h{band * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sided AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {INCR_BATCH_MOD} = 0 THEN 'b' ELSE 'c' END AS side,
+         sh
+  FROM shh
+),
+sig AS (
+  SELECT doc_id, side,
+    {sig_aggs}
+  FROM sided GROUP BY doc_id, side
+),
+bands AS (
+{band_selects}
+),
+candidates AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+  FROM bands b JOIN bands c
+    ON b.band = c.band AND b.band_hash = c.band_hash
+   AND b.side = 'b' AND c.side = 'c'
+),
+cnt AS (SELECT doc_id, side, COUNT(*) AS n FROM sided GROUP BY doc_id, side),
+pairs AS (
+  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, COUNT(*) AS n_common
+  FROM sided b JOIN sided c ON b.sh = c.sh AND b.side = 'b' AND c.side = 'c'
+  GROUP BY 1, 2
+)
+SELECT cd.batch_doc, cd.corpus_doc,
+       ROUND(CAST(p.n_common AS DOUBLE) / (cb.n + cc.n - p.n_common), 6) AS jaccard
+FROM candidates cd
+JOIN pairs p ON p.batch_doc = cd.batch_doc AND p.corpus_doc = cd.corpus_doc
+JOIN cnt cb ON cb.doc_id = cd.batch_doc AND cb.side = 'b'
+JOIN cnt cc ON cc.doc_id = cd.corpus_doc AND cc.side = 'c'
+WHERE ROUND(CAST(p.n_common AS DOUBLE) / (cb.n + cc.n - p.n_common), 6) >= {threshold}
+"""
+
+
 DEDUP_QUERIES = [
     QueryDef("dedup_exact", lambda s, d: dedup_exact(_docs(s, d)), DEDUP_EXACT_ORACLE),
     QueryDef(
         "dedup_incremental_batch",
         _dedup_incremental_docs,
         DEDUP_INCREMENTAL_ORACLE,
+    ),
+    QueryDef(
+        "dedup_incremental_neardup",
+        _dedup_incremental_neardup_docs,
+        _incremental_neardup_oracle(),
     ),
     QueryDef(
         "dedup_ngram_jaccard",

@@ -54,6 +54,33 @@ def test_snapshot_roundtrip(spark, tmp_path):
     assert {r.doc_id for r in back.select("doc_id").collect()} == keep
 
 
+def test_dedup_incremental_neardup_finds_planted_overlap(spark):
+    from apd_map_reduce_spark.operators.dedup import dedup_incremental_neardup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before night falls on the hills"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated text about database engines "
+                            "query planners and distributed shuffle execution layers")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),  # identical -> jaccard 1.0 with 100
+            (2, "independent fresh content with no overlap whatsoever in any "
+                "shingle because every single trigram here is brand new today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.batch_doc, r.corpus_doc): r.jaccard
+        for r in dedup_incremental_neardup(corpus, batch).collect()
+    }
+    assert got == {(1, 100): 1.0}
+
+
 def test_dedup_incremental_classifies_three_ways(spark):
     from apd_map_reduce_spark.operators.dedup import dedup_incremental
 
