@@ -358,6 +358,66 @@ FROM h
 """
 
 
+def corpus_source_profile(docs: DataFrame) -> DataFrame:
+    """Dataset-card profile per (lang, source): the summary every
+    curated-corpus release publishes — document count, exact-duplicate
+    rate within the slice, token volume, and mean document length.
+
+    Determinism: counts and sums are exact integers; the two ratios are
+    single double divisions of exact integers rounded to 6 dp —
+    engine-identical. Scale: one groupBy on a low-cardinality composite
+    key (map-side partial aggregation does nearly all the work; the
+    distinct-digest count rewrites to a two-level aggregate, still
+    keyed by (lang, source, digest) — uniform, skew-free)."""
+    toks = normalized_tokens()
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_distinct"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+            F.round(
+                F.col("sum_chars").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_chars"),
+        )
+    )
+
+
+SOURCE_PROFILE_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang, source, md5(text) AS digest,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6) AS dup_ratio,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+FROM per_doc GROUP BY lang, source
+"""
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -402,5 +462,10 @@ CURATION_QUERIES = [
         "training_shuffle_order",
         lambda s, d: training_shuffle_order(_docs(s, d)),
         SHUFFLE_ORDER_ORACLE,
+    ),
+    QueryDef(
+        "corpus_source_profile",
+        lambda s, d: corpus_source_profile(_docs(s, d)),
+        SOURCE_PROFILE_ORACLE,
     ),
 ]

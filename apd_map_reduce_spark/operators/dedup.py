@@ -698,6 +698,61 @@ JOIN firsts f ON f.content_hash = b.content_hash
 """
 
 
+SPAN_TOKENS = 8
+SPAN_MIN_DF = 2
+
+
+def boilerplate_spans(
+    docs: DataFrame, n: int = SPAN_TOKENS, min_df: int = SPAN_MIN_DF
+) -> DataFrame:
+    """Cross-document repeated span detection: token n-gram windows
+    (n=8, stride 1) that appear in ≥ `min_df` distinct documents —
+    the span-level boilerplate signal web-corpus pipelines remove
+    (navigation chrome, license footers, templated headers) before
+    doc-level dedup even runs.
+
+    Emits (span, df, example_doc = lowest doc_id containing it).
+    Production flow: anti-join each doc's spans against this relation,
+    drop covered regions, re-score quality.
+
+    Scale: per-doc distinct spans (array level, no shuffle), then ONE
+    groupBy(span) — high-cardinality uniform key. A span shared by the
+    whole corpus is one hot-ish group of size df, but the aggregation
+    is (count, min) — partial-agg collapses it map-side, so unlike a
+    self-join there is no df² blowup anywhere."""
+    spans = spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(normalized_tokens(), n=n))
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+BOILERPLATE_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 0))) AS i
+  FROM toks
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         {" || ' ' || ".join(f"ts[i+{j}]" for j in range(SPAN_TOKENS))} AS span
+  FROM idx
+)
+SELECT span, COUNT(*) AS df, MIN(doc_id) AS example_doc
+FROM spans GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
+"""
+
+
 def dedup_incremental_neardup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -840,6 +895,11 @@ DEDUP_QUERIES = [
         "dedup_incremental_batch",
         _dedup_incremental_docs,
         DEDUP_INCREMENTAL_ORACLE,
+    ),
+    QueryDef(
+        "text_boilerplate_spans",
+        lambda s, d: boilerplate_spans(_docs(s, d)),
+        BOILERPLATE_SPANS_ORACLE,
     ),
     QueryDef(
         "dedup_incremental_neardup",

@@ -81,6 +81,28 @@ def test_dedup_incremental_neardup_finds_planted_overlap(spark):
     assert got == {(1, 100): 1.0}
 
 
+def test_boilerplate_spans_planted_footer(spark):
+    from apd_map_reduce_spark.operators.dedup import boilerplate_spans
+
+    footer = "all rights reserved contact us terms of service apply here"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique article one body text content words " + footer),
+            (2, "different second article body with other words " + footer),
+            (3, "third document has completely independent tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = boilerplate_spans(docs, n=8, min_df=2).collect()
+    spans = {r.span: (r.df, r.example_doc) for r in got}
+    # the footer yields 3 shared 8-token windows, plus 1 more because
+    # both docs happen to precede it with "words" (an 11-token shared
+    # suffix -> 4 windows)
+    assert all(df == 2 and ex == 1 for df, ex in spans.values())
+    assert any("terms of service" in s for s in spans)
+    assert len(spans) == 4
+
+
 def test_dedup_incremental_classifies_three_ways(spark):
     from apd_map_reduce_spark.operators.dedup import dedup_incremental
 
