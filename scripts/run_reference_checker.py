@@ -70,10 +70,7 @@ def run_config(m: int, r: int, manifest: str, golden: str) -> dict:
     return {"m": m, "r": r, "wall_s": round(wall, 2), "pipeline_s": pipeline, "correct": ok}
 
 
-def main() -> None:
-    manifest = sys.argv[1] if len(sys.argv) > 1 else MANIFEST
-    golden = sys.argv[2] if len(sys.argv) > 2 else GOLDEN
-    results = [run_config(m, r, manifest, golden) for m, r in CONFIGS]
+def score(results: list[dict]) -> dict:
     seq = next(x for x in results if (x["m"], x["r"]) == (1, 1))
     for x in results:
         key = (x["m"], x["r"])
@@ -88,15 +85,60 @@ def main() -> None:
                     "full" if spp >= full else ("partial" if spp >= partial else "FAIL")
                 )
     n_correct = sum(1 for x in results if x["correct"])
-    print(
-        json.dumps(
-            {
-                "configs": results,
-                "correct": f"{n_correct}/9",
-                "all_correct": n_correct == 9,
+    return {
+        "configs": results,
+        "correct": f"{n_correct}/9",
+        "all_correct": n_correct == 9,
+    }
+
+
+def main() -> None:
+    args = list(sys.argv[1:])
+    repeat = 1
+    if "--repeat" in args:
+        # Variance-harness mode (analogue of the reference's
+        # check_the_checker.sh, which re-runs its checker 100x to bound
+        # measurement noise): run the full 9-config sweep N times and
+        # report per-run gates plus per-config pipeline_s min/median,
+        # so a gate verdict can be read against the spread instead of
+        # trusted from one sample.
+        i = args.index("--repeat")
+        repeat = max(int(args[i + 1]), 1)
+        del args[i : i + 2]
+    manifest = args[0] if args else MANIFEST
+    golden = args[1] if len(args) > 1 else GOLDEN
+
+    runs = []
+    for _ in range(repeat):
+        runs.append(score([run_config(m, r, manifest, golden) for m, r in CONFIGS]))
+    out = runs[0]
+    if repeat > 1:
+        spread: dict[str, dict] = {}
+        for m, r in CONFIGS:
+            vals = sorted(
+                x["pipeline_s"]
+                for run in runs
+                for x in run["configs"]
+                if (x["m"], x["r"]) == (m, r) and x["pipeline_s"] is not None
+            )
+            gates = [
+                x.get("gate")
+                for run in runs
+                for x in run["configs"]
+                if (x["m"], x["r"]) == (m, r) and "gate" in x
+            ]
+            spread[f"m{m}r{r}"] = {
+                "pipeline_min": vals[0] if vals else None,
+                "pipeline_median": vals[len(vals) // 2] if vals else None,
+                "gates": gates or None,
             }
-        )
-    )
+        out = {
+            "repeat": repeat,
+            "all_correct_every_run": all(r["all_correct"] for r in runs),
+            "spread": spread,
+            "runs": runs,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
