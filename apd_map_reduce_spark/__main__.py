@@ -132,9 +132,14 @@ def main(argv: list[str] | None = None) -> int:
         # then measures pipeline execution, like the reference's. Every
         # config, the sequential baseline included, gets the identical
         # warmup, so speedup ratios compare like with like.
+        import shutil
         import tempfile
 
-        run_pipeline(tempfile.mkdtemp(prefix="apd_warmup_"))
+        warm_dir = tempfile.mkdtemp(prefix="apd_warmup_")
+        try:
+            run_pipeline(warm_dir)
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
         # Min-of-2 timed passes (warm runs swing ±0.3 s on a ~2 s
         # pipeline — enough to flip a speedup gate on a single sample;
         # same damping rationale as bench.py's min-of-3). Identical

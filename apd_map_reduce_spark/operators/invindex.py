@@ -108,13 +108,20 @@ def write_letter_files(index: DataFrame, out_dir: str) -> None:
         # Lead with `letter`: the partitioned-file writer requires its
         # input sorted by partition columns and would otherwise insert
         # its own (unstable) sort, clobbering the (df, word) order.
-        # Explicit 26 partitions — the sink's natural key count (one
-        # task per output file), NOT spark.sql.shuffle.partitions: the
-        # CLI sets shuffle.partitions = R for the word aggregation, and
-        # letting the sink inherit R=1/R=2 serialized the letter writes
-        # behind 1-2 tasks. One task per letter lets the scheduler pack
-        # all 26 onto however many cores exist (A/B at the checker
-        # corpus: faster at EVERY (M,R), sequential included).
+        # Explicit 26 partitions — the sink's natural key count, NOT
+        # spark.sql.shuffle.partitions: the CLI sets shuffle.partitions
+        # = R for the word aggregation, and letting the sink inherit
+        # R=1/R=2 serialized the letter writes behind 1-2 tasks. Hash
+        # partitioning 26 keys into 26 buckets collides (≈17 occupied
+        # partitions, some tasks writing 2-3 letters), so this is NOT
+        # strictly one-task-per-letter — but it still beats R tasks at
+        # every (M,R) incl. sequential, and the collision-free
+        # alternative (repartitionByRange(26, "letter")) was measured
+        # SLOWER at both local[2]R1 (3.14 vs 3.00 min-of-4) and
+        # local[6]R2 (1.81 vs 1.56): its range-boundary sampling job
+        # costs more than the imbalance it removes at this scale.
+        # Each letter still lands wholly in one partition either way,
+        # so output bytes are identical (A/B diffed).
         formatted.repartition(26, "letter")
         .sortWithinPartitions(F.asc("letter"), F.desc("df"), F.asc("word"))
         .select("letter", "text_line")

@@ -2367,19 +2367,15 @@ FROM clamped GROUP BY o_orderpriority
 
 # --- built-in session_window (native gap sessionization) ---------------------
 
-def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization via Spark's NATIVE session_window
-    operator (one aggregation, merging windows in-place — the same
-    operator Structured Streaming uses for stateful sessions, so batch
-    and streaming share semantics). Twin of `events_sessionize`, which
-    builds the same islands from window algebra; here the session
-    boundary is session_window's own rule: an event at exactly
-    prev + gap starts a NEW session (window ends are exclusive), which
-    the oracle mirrors with a >= gap test on µs integers."""
-    e = load_table(spark, sf_dir, "events")
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """The native session_window aggregation over an events relation —
+    shared by the batch registry query below AND the streaming
+    batch-twin check (scripts/check_streaming_twins.py), so the twin
+    definition cannot drift from the registered query. Works on batch
+    and streaming DataFrames alike (same operator in both modes)."""
     sw = F.session_window("ts", "30 minutes")
     return (
-        e.groupBy("user_id", sw)
+        events.groupBy("user_id", sw)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
@@ -2392,6 +2388,18 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    operator (one aggregation, merging windows in-place — the same
+    operator Structured Streaming uses for stateful sessions, so batch
+    and streaming share semantics). Twin of `events_sessionize`, which
+    builds the same islands from window algebra; here the session
+    boundary is session_window's own rule: an event at exactly
+    prev + gap starts a NEW session (window ends are exclusive), which
+    the oracle mirrors with a >= gap test on µs integers."""
+    return session_window_agg(load_table(spark, sf_dir, "events"))
 
 
 SESSION_WINDOW_ORACLE = """

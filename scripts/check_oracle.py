@@ -79,6 +79,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     tail_after = None
+    if "--tail-after" in args and args.index("--tail-after") == len(args) - 1:
+        print("--tail-after requires a query name", file=sys.stderr)
+        return 2
     if "--tail-after" in args:
         # Driver-window complement mode (VERDICT r3 #3): the external
         # harness checks roughly the first 50 registry queries in
@@ -94,11 +97,20 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if tail_after is not None:
+        if only:
+            print("--tail-after and explicit query names are exclusive", file=sys.stderr)
+            return 2
         names = [q.name for q in ALL_QUERIES]
         if tail_after not in names:
             print(f"unknown --tail-after query {tail_after!r}", file=sys.stderr)
             return 2
         only = set(names[names.index(tail_after) + 1 :])
+        if not only:
+            # An empty set would read as "no filter" in the loop below
+            # and silently run (and record) the FULL suite under a
+            # tail-artifact label.
+            print(f"{tail_after} is the last registry query; empty tail", file=sys.stderr)
+            return 2
         print(f"tail mode: {len(only)} queries after {tail_after}")
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()

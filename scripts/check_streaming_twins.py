@@ -101,10 +101,11 @@ def main() -> int:
     batch = spark.read.parquet(src)
     schema = batch.schema
 
-    def stream():
-        return spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", "8"
-        ).parquet(src)
+    def stream(max_files: int | None = 8):
+        r = spark.readStream.schema(schema)
+        if max_files is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files))
+        return r.parquet(src)
 
     results: dict[str, dict] = {}
 
@@ -129,28 +130,21 @@ def main() -> int:
 
     # 2. Native session_window, complete mode: exact batch parity (the
     #    same operator, streaming state machinery vs batch hash agg).
-    def session_cols(df):
-        return (
-            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
-            .agg(F.count(F.lit(1)).alias("n_events"))
-            .select(
-                "user_id",
-                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                    "session_start"
-                ),
-                F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
-                    "session_end"
-                ),
-                "n_events",
-            )
-        )
+    #    session_window_agg is IMPORTED from the registry module, not
+    #    re-implemented, so the twin cannot drift from the registered
+    #    events_session_window_builtin query.
+    from apd_map_reduce_spark.queries.relational import session_window_agg
 
     drain_to_memory(
-        session_cols(stream().withWatermark("ts", "1 hour")), "tw_sessions", "complete"
+        session_window_agg(stream().withWatermark("ts", "1 hour")),
+        "tw_sessions",
+        "complete",
     )
     results["streaming_session_window"] = {
-        **compare(spark.table("tw_sessions").toPandas(), session_cols(batch).toPandas()),
-        "twin": "batch:session_window (same native operator, batch plan)",
+        **compare(
+            spark.table("tw_sessions").toPandas(), session_window_agg(batch).toPandas()
+        ),
+        "twin": "batch:session_window_agg (same native operator, batch plan)",
     }
 
     # 3. Custom stateful sessionize (applyInPandasWithState): under a
@@ -160,8 +154,15 @@ def main() -> int:
     from apd_map_reduce_spark.queries.relational import events_sessionize
     from apd_map_reduce_spark.streaming.sessions import sessionize_stream
 
+    # max_files=None → single availableNow micro-batch (file source
+    # default batches up to 1000 files). The exact twin derivation
+    # below REQUIRES one batch: applyInPandasWithState sorts only
+    # within the data it is handed, so events time-interleaved across
+    # micro-batches would fold into the wrong session (out-of-order
+    # cross-batch delivery is the documented limitation of the
+    # NoTimeout drain, not a bug this check should flap on).
     drain_to_memory(
-        sessionize_stream(stream()).select(
+        sessionize_stream(stream(max_files=None)).select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),

@@ -5,8 +5,10 @@ with the checker's thresholds.
 
 Differences from checker.sh, documented: one warm JVM would be unfair
 to the sequential baseline, so each config runs a fresh process (like the
-reference); wall_s therefore INCLUDES JVM+session startup, exactly as
-the reference's `time -p` includes process startup (SURVEY.md §6.1).
+reference); wall_s INCLUDES JVM+session startup AND, since round 4,
+three pipeline executions (the --warmup pass + 2 timed passes), so it
+is NOT comparable to r1-r3 wall_s or to the reference's single-run
+`time -p` — it exists only as a same-artifact sanity bound.
 pipeline_s is the min of 2 timed passes AFTER an in-process warmup
 pass (--warmup), because the reference binary was compiled at build
 time while Catalyst/codegen compile on first execution — warm-vs-warm
@@ -22,6 +24,7 @@ Prints one JSON line with per-config wall time, correctness, speedups.
 from __future__ import annotations
 
 import json
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -63,6 +66,7 @@ def run_config(m: int, r: int, manifest: str, golden: str) -> dict:
     )
     wall = time.time() - t0
     ok = proc.returncode == 0 and diff_outputs(out, golden)
+    shutil.rmtree(out, ignore_errors=True)
     pipeline = None
     for line in proc.stdout.splitlines():
         if line.startswith("pipeline_s:"):
