@@ -113,3 +113,135 @@ def test_corr_matrix_matches_numpy(spark):
     assert abs(row.corr_qty_price - ref[0, 1]) < 1e-5
     assert abs(row.corr_qty_discount - ref[0, 2]) < 1e-5
     assert abs(row.corr_price_discount - ref[1, 2]) < 1e-5
+
+
+# --- independent Python models of the round-4 operators ---------------------
+
+def _py_tokens(text: str) -> list[str]:
+    import re as _re
+
+    return [
+        w
+        for w in (
+            _re.sub("[^A-Za-z]", "", t).lower() for t in _re.split(r"\s+", text)
+        )
+        if w
+    ]
+
+
+def _py_shingle_hashes(text: str, n: int = 3) -> set[int]:
+    import hashlib
+
+    toks = _py_tokens(text)
+    shingles = {
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    } if len(toks) >= n else set()
+    return {
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles
+    }
+
+
+DOC_TEXT = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x9", "Q-q"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@given(st.lists(DOC_TEXT, min_size=1, max_size=6), st.lists(DOC_TEXT, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_neardup_matches_python_model(spark, corpus_texts, batch_texts):
+    """Full independent reimplementation of the incremental LSH screen
+    (shingles → universal-hash MinHash → banding → candidate collision
+    → exact Jaccard) in plain Python, compared pair-for-pair."""
+    import hashlib
+
+    from apd_map_reduce_spark.operators.dedup import (
+        _MH_PARAMS,
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        MINHASH_PRIME,
+        N_MINHASH,
+        dedup_incremental_neardup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)], "doc_id long, text string"
+    )
+
+    def sig(shs: set[int]) -> list[int] | None:
+        if not shs:
+            return None
+        return [
+            min((a * (x % 2**31) + b) % MINHASH_PRIME for x in shs)
+            for (a, b) in _MH_PARAMS
+        ]
+
+    def bands(s: list[int]) -> list[tuple[int, str]]:
+        rpb = N_MINHASH // LSH_BANDS
+        return [
+            (
+                band,
+                hashlib.md5(
+                    ",".join(str(h) for h in s[band * rpb : (band + 1) * rpb]).encode()
+                ).hexdigest(),
+            )
+            for band in range(LSH_BANDS)
+        ]
+
+    c_sh = {i: _py_shingle_hashes(t) for i, t in enumerate(corpus_texts)}
+    b_sh = {1000 + i: _py_shingle_hashes(t) for i, t in enumerate(batch_texts)}
+    c_bands = {i: bands(sig(s)) for i, s in c_sh.items() if s}
+    b_bands = {i: bands(sig(s)) for i, s in b_sh.items() if s}
+    expected = {}
+    for bd, bb in b_bands.items():
+        for cd, cb in c_bands.items():
+            if set(bb) & set(cb):
+                inter = len(b_sh[bd] & c_sh[cd])
+                union = len(b_sh[bd] | c_sh[cd])
+                j = round(inter / union, 6) if union else 0.0
+                if j >= JACCARD_THRESHOLD:
+                    expected[(bd, cd)] = j
+
+    got = {
+        (r.batch_doc, r.corpus_doc): r.jaccard
+        for r in dedup_incremental_neardup(corpus, batch).collect()
+    }
+    assert got == expected
+
+
+@given(st.lists(DOC_TEXT, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_boilerplate_spans_matches_python_model(spark, texts):
+    from apd_map_reduce_spark.operators.dedup import boilerplate_spans
+
+    N, MIN_DF = 2, 2  # small n so short random docs produce spans
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected: dict[str, tuple[int, int]] = {}
+    per_doc = {
+        i: {
+            " ".join(_py_tokens(t)[j : j + N])
+            for j in range(len(_py_tokens(t)) - N + 1)
+        }
+        for i, t in enumerate(texts)
+    }
+    from collections import defaultdict
+
+    by_span = defaultdict(list)
+    for i, spans in per_doc.items():
+        for s in spans:
+            by_span[s].append(i)
+    for s, ds in by_span.items():
+        if len(ds) >= MIN_DF:
+            expected[s] = (len(ds), min(ds))
+
+    got = {
+        r.span: (r.df, r.example_doc)
+        for r in boilerplate_spans(docs, n=N, min_df=MIN_DF).collect()
+    }
+    assert got == expected
