@@ -245,3 +245,42 @@ def test_boilerplate_spans_matches_python_model(spark, texts):
         for r in boilerplate_spans(docs, n=N, min_df=MIN_DF).collect()
     }
     assert got == expected
+
+
+def test_dedup_family_partition_sweep(spark):
+    """Partition-count invariance for the near-dup family (the (M,R)
+    matrix analogue for the v3 extension operators): LSH pairs and the
+    incremental screen must not depend on shuffle parallelism."""
+    from apd_map_reduce_spark.operators.dedup import (
+        dedup_incremental_neardup,
+        minhash_lsh_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different content about spark partitions here now",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 0
+        "another unrelated short document with its own words",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = docs.filter("doc_id % 2 = 0")
+    corpus = docs.filter("doc_id % 2 = 1")
+    base_pairs = base_incr = None
+    for n in ("1", "5", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            pairs = sorted(tuple(r) for r in minhash_lsh_pairs(docs).collect())
+            incr = sorted(
+                tuple(r) for r in dedup_incremental_neardup(corpus, batch).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+        if base_pairs is None:
+            base_pairs, base_incr = pairs, incr
+        assert pairs == base_pairs, f"lsh diverged at shuffle.partitions={n}"
+        assert incr == base_incr, f"incremental diverged at shuffle.partitions={n}"
+    assert base_pairs, "expected at least one near-dup pair in the fixture"
+    assert base_incr, "expected at least one cross-side pair in the fixture"
