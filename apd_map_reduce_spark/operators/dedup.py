@@ -753,6 +753,96 @@ FROM spans GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
 """
 
 
+def remove_boilerplate(
+    docs: DataFrame, n: int = SPAN_TOKENS, min_df: int = SPAN_MIN_DF
+) -> DataFrame:
+    """APPLY the boilerplate filter: strip every token covered by a
+    cross-document repeated span (`boilerplate_spans`) from each
+    document — the cleaning step that consumes the detection relation.
+
+    Returns (doc_id, clean_text, n_removed): clean_text is the
+    surviving normalized tokens in original order ('' when everything
+    was boilerplate or the doc had no tokens); n_removed counts
+    stripped tokens. Overlapping span occurrences union their covered
+    positions (a token is removed once, not once per covering span).
+
+    Scale: the span relation joins the per-doc window relation keyed
+    by the span string (no broadcast assumption — AQE may choose one);
+    covered-position masking is per-row array logic over the flagged
+    START positions only (collect_set per doc of ≤ n_tokens ints), so
+    no positions-level shuffle exists. The only shuffles are the span
+    df-aggregation, the window⋈span join, and the per-doc start
+    aggregation — all keyed, all uniform."""
+    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    win = toks.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
+    )
+    spans = boilerplate_spans(docs, n=n, min_df=min_df).select("span")
+    flagged = (
+        win.join(spans, "span")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i0")).alias("starts"))
+    )
+    # Window k (0-based posexplode index) starts at token k+1 (1-based)
+    # and covers [k+1, k+n]; with 0-based token position p (from the
+    # filter lambda) coverage is s <= p < s+n for start index s.
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("ts"),
+        lambda t, p: ~F.exists(starts, lambda s: (p >= s) & (p < s + F.lit(n))),
+    )
+    return (
+        toks.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("ts") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+REMOVE_BOILERPLATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 0))) AS i
+  FROM toks
+),
+win AS (
+  SELECT doc_id, i,
+         {" || ' ' || ".join(f"ts[i+{j}]" for j in range(SPAN_TOKENS))} AS span
+  FROM idx
+),
+bspans AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM win)
+  GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
+),
+flag AS (SELECT DISTINCT w.doc_id, w.i FROM win w JOIN bspans b USING (span)),
+cov AS (
+  SELECT DISTINCT doc_id, i + j AS p
+  FROM flag, unnest(generate_series(0, {SPAN_TOKENS - 1})) AS t(j)
+),
+pos AS (
+  SELECT doc_id, p, ts[p] AS tok
+  FROM toks, unnest(generate_series(1, len(ts))) AS t(p)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+),
+keptagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(t.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
 def dedup_incremental_neardup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -900,6 +990,11 @@ DEDUP_QUERIES = [
         "text_boilerplate_spans",
         lambda s, d: boilerplate_spans(_docs(s, d)),
         BOILERPLATE_SPANS_ORACLE,
+    ),
+    QueryDef(
+        "text_remove_boilerplate",
+        lambda s, d: remove_boilerplate(_docs(s, d)),
+        REMOVE_BOILERPLATE_ORACLE,
     ),
     QueryDef(
         "dedup_incremental_neardup",

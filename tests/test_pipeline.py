@@ -103,6 +103,36 @@ def test_boilerplate_spans_planted_footer(spark):
     assert len(spans) == 4
 
 
+def test_remove_boilerplate_strips_only_covered_tokens(spark):
+    from apd_map_reduce_spark.operators.dedup import remove_boilerplate
+
+    footer = "all rights reserved contact us terms of service"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "first article body text " + footer),
+            (2, "second article other words " + footer),
+            (3, "third doc with no shared spans at all present"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in remove_boilerplate(docs).collect()}
+    assert got[1] == ("first article body text", 8)
+    assert got[2] == ("second article other words", 8)
+    assert got[3][1] == 0 and got[3][0].startswith("third doc")
+
+
+def test_remove_boilerplate_blanks_exact_duplicates(spark):
+    # Exact duplicates share EVERY window, so both copies reduce to ''.
+    from apd_map_reduce_spark.operators.dedup import remove_boilerplate
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in remove_boilerplate(docs).collect()}
+    assert got == {1: ("", 10), 2: ("", 10)}
+
+
 def test_dedup_incremental_classifies_three_ways(spark):
     from apd_map_reduce_spark.operators.dedup import dedup_incremental
 
