@@ -175,6 +175,59 @@ FROM changes
 _LINEITEM_CK_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"]
 
 
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Batch MERGE (upsert): produce the post-merge snapshot where
+    `updates` rows replace base rows with the same `key` and new keys
+    append — the batch primitive behind incremental snapshot publishing
+    (the streaming twin is `streaming/topk.parquet_merge_sink`'s
+    foreachBatch MERGE).
+
+    Shape: updates ∪ (base ⟕anti updates.key). One keyed anti-join
+    shuffling only (key) from the updates side plus the base relation —
+    row width of `updates` never shuffles twice. Assumes `updates` has
+    at most one row per key (enforce upstream with dedup_exact /
+    dropDuplicates; duplicated update keys would both survive)."""
+    return updates.unionByName(
+        base.join(updates.select(key), key, "left_anti")
+    )
+
+
+UPSERT_MOD_UPDATE = 11
+UPSERT_MOD_INSERT = 13
+UPSERT_INSERT_OFFSET = 1_000_000
+
+
+def _merge_upsert_documents(spark, sf_dir: str) -> DataFrame:
+    """Registry shape: documents merged with a derived update batch —
+    docs with doc_id % 11 == 0 get a re-tagged lang (an UPDATE), docs
+    with doc_id % 13 == 0 re-enter as brand-new ids (an INSERT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("doc_id") % UPSERT_MOD_UPDATE == 0).withColumn(
+        "lang", F.concat(F.lit("up_"), F.col("lang"))
+    )
+    inserts = docs.filter(F.col("doc_id") % UPSERT_MOD_INSERT == 0).withColumn(
+        "doc_id", F.col("doc_id") + UPSERT_INSERT_OFFSET
+    ).withColumn("source", F.lit("ingest_batch"))
+    return merge_upsert(docs, updates.unionByName(inserts), "doc_id")
+
+
+MERGE_UPSERT_ORACLE = f"""
+WITH updates AS (
+  SELECT doc_id, text, 'up_' || lang AS lang, source, n_chars
+  FROM documents WHERE doc_id % {UPSERT_MOD_UPDATE} = 0
+  UNION ALL
+  SELECT doc_id + {UPSERT_INSERT_OFFSET} AS doc_id, text, lang,
+         'ingest_batch' AS source, n_chars
+  FROM documents WHERE doc_id % {UPSERT_MOD_INSERT} = 0
+)
+SELECT doc_id, text, lang, source, n_chars FROM updates
+UNION ALL
+SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+FROM documents b LEFT JOIN updates u USING (doc_id)
+WHERE u.doc_id IS NULL
+"""
+
+
 SNAPSHOT_QUERIES = [
     QueryDef("snapshot_diff_documents", _snapshot_diff_documents, SNAPSHOT_DIFF_ORACLE),
     QueryDef(
@@ -186,5 +239,10 @@ SNAPSHOT_QUERIES = [
         "events_scd2_history",
         lambda s, d: scd2_history(load_table(s, d, "events")),
         SCD2_ORACLE,
+    ),
+    QueryDef(
+        "snapshot_merge_upsert",
+        _merge_upsert_documents,
+        MERGE_UPSERT_ORACLE,
     ),
 ]

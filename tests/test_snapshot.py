@@ -49,3 +49,16 @@ def test_scd2_history_collapses_runs(spark):
     ]
     assert got[0].valid_to == got[1].valid_from  # intervals chain
     assert got[2].valid_to is None and got[3].valid_to is None
+
+
+def test_merge_upsert_update_insert_untouched(spark):
+    from apd_map_reduce_spark.operators.snapshot import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2", 99), (4, "d", 40)], "k long, v string, n long"
+    )
+    got = {r.k: (r.v, r.n) for r in merge_upsert(base, updates, "k").collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 99), 3: ("c", 30), 4: ("d", 40)}
