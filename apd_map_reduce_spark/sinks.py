@@ -182,3 +182,47 @@ def write_text(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.text(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    seed: str = "r4",
+    mode: str = "overwrite",
+) -> None:
+    """Training-data delivery sink: JSONL shards with deterministic,
+    reproducible document→shard assignment — the format LLM training
+    loaders consume (one JSON object per line, Hive-style
+    `shard=shard-%05d` directories that spark.read.json() re-discovers
+    as a column).
+
+    Shard = 60-bit prefix of a seeded md5 of the row's doc_id modulo
+    n_shards (the same hash family `training_shuffle_order` uses):
+    re-running on the same corpus gives byte-identical shard
+    membership regardless of parallelism, and a new seed is a full
+    reshuffle. One writer task per shard (repartition on the shard
+    column before partitionBy), so shard files are single-part and the
+    writer parallelism equals n_shards — at 100 TB raise n_shards, not
+    file sizes.
+
+    Rows are serialized with to_json over the full row struct; readers
+    get every column back (spark.read.json(path) round-trips modulo
+    JSON's type erasure — tests assert doc_id/text survive exactly).
+    """
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat_ws(":", F.lit("jsonl"), F.lit(seed), F.col("doc_id")))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn(
+        "shard", F.format_string("shard-%05d", shard)
+    ).withColumn("value", F.to_json(F.struct(*df.columns)))
+    (
+        out.select("value", "shard")
+        .repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .text(path)
+    )

@@ -101,3 +101,41 @@ def test_cli_query_list_and_run(capsys):
     out = capsys.readouterr().out
     assert "corpus_inverted_index\toracle" in out
     assert main(["query", "definitely_not_a_query"]) == 2
+
+
+def test_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    from apd_map_reduce_spark.sinks import write_jsonl_shards
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_jsonl_shards(docs, out1, n_shards=8)
+    write_jsonl_shards(docs, out2, n_shards=8)
+
+    back = spark.read.json(out1)
+    assert back.count() == docs.count()
+    orig = {(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()}
+    got = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    assert got == orig
+
+    # deterministic shard membership: same seed -> same bytes per shard
+    import os
+
+    def shard_map(base):
+        m = {}
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("shard="):
+                continue
+            lines = []
+            for f in sorted(os.listdir(os.path.join(base, d))):
+                if f.endswith(".txt"):
+                    with open(os.path.join(base, d, f), encoding="utf-8") as fh:
+                        lines.extend(fh.read().splitlines())
+            m[d] = sorted(lines)
+        return m
+
+    m1, m2 = shard_map(out1), shard_map(out2)
+    assert m1 == m2
+    assert len(m1) == 8
