@@ -166,3 +166,63 @@ JOIN (
 
 
 DUP_GROUPS_ORACLE = _dup_groups_oracle()
+
+
+def canonical_selection(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Pick the document to KEEP from each transitive duplicate group:
+    the longest copy (token count), ties to the lowest doc_id — the
+    realistic curation policy ("keep the most complete version"), vs
+    dedup_exact's min-id-wins which is only right for byte-identical
+    copies.
+
+    Returns one row per group: (component, group_size, keep_doc_id,
+    n_tokens). Selection is integer-exact (token counts + ids — no
+    float comparisons), so the DuckDB twin is hash-stable.
+
+    Scale: dup_groups' component relation joins a narrow per-doc token
+    count, then one window per component (components are small by
+    construction — near-dup cliques); no global sort."""
+    from pyspark.sql.window import Window
+
+    from apd_map_reduce_spark.operators.dedup import normalized_tokens
+
+    groups = dup_groups(docs, threshold=threshold)
+    ntok = docs.select(
+        "doc_id", F.size(normalized_tokens()).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        groups.join(ntok, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "group_size",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_tokens",
+        )
+    )
+
+
+def _canonical_selection_oracle(threshold: float = 0.5) -> str:
+    from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL
+
+    return f"""
+WITH ranked AS (
+  SELECT g.component, g.group_size, g.doc_id, n.n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.component ORDER BY n.n_tokens DESC, g.doc_id ASC
+         ) AS rn
+  FROM ({_dup_groups_oracle(threshold)}) g
+  JOIN (
+    SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens FROM documents
+  ) n USING (doc_id)
+)
+SELECT component, group_size, doc_id AS keep_doc_id, n_tokens
+FROM ranked WHERE rn = 1
+"""
+
+
+CANONICAL_SELECTION_ORACLE = _canonical_selection_oracle()

@@ -15,7 +15,12 @@ from apd_map_reduce_spark.operators.behavior import (
     user_behavior_features,
 )
 from apd_map_reduce_spark.operators.asof import ASOF_ORACLE, asof_last_order
-from apd_map_reduce_spark.operators.components import DUP_GROUPS_ORACLE, dup_groups
+from apd_map_reduce_spark.operators.components import (
+    CANONICAL_SELECTION_ORACLE,
+    DUP_GROUPS_ORACLE,
+    canonical_selection,
+    dup_groups,
+)
 from apd_map_reduce_spark.operators.textstats import FINGERPRINT_ORACLE
 from apd_map_reduce_spark.operators.cluster import CLUSTER_QUERIES
 from apd_map_reduce_spark.operators.cooccur import COOCCUR_QUERIES
@@ -77,6 +82,13 @@ BEHAVIOR_QUERIES = [
         "dedup_transitive_groups",
         lambda s, d: dup_groups(load_table(s, d, "documents")),
         DUP_GROUPS_ORACLE,
+    ),
+    # Per-group keep policy over the same transitive closure: longest
+    # copy wins, min-id tiebreak (integer-exact selection).
+    QueryDef(
+        "dedup_canonical_selection",
+        lambda s, d: canonical_selection(load_table(s, d, "documents")),
+        CANONICAL_SELECTION_ORACLE,
     ),
     # Salted two-phase aggregation vs the plain GROUP BY oracle: the
     # skew mitigation is hash-checked result-transparent.

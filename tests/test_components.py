@@ -44,3 +44,22 @@ def test_dup_groups_on_documents(spark):
     for comp, members in by_comp.items():
         assert comp == min(members), "component label must be the min member"
         assert all(r.group_size == len(members) for r in groups if r.component == comp)
+
+
+def test_canonical_selection_prefers_longest_copy(spark):
+    from apd_map_reduce_spark.operators.components import canonical_selection
+
+    long_text = "the quick brown fox jumps over the lazy dog and keeps going far"
+    short_text = "the quick brown fox jumps over the lazy dog and keeps"
+    docs = spark.createDataFrame(
+        [
+            (5, short_text),   # near-dup of 9, fewer tokens
+            (9, long_text),    # longest copy -> canonical despite higher id
+            (7, "completely unrelated content standing alone by itself here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = canonical_selection(docs, threshold=0.5).collect()
+    assert len(got) == 1  # singleton doc 7 forms no group
+    row = got[0]
+    assert row.keep_doc_id == 9 and row.group_size == 2 and row.n_tokens == 13
