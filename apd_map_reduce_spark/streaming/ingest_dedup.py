@@ -1,0 +1,142 @@
+"""Streaming ingestion with incremental NEAR-dup screening — the
+streaming twin of `operators/dedup.dedup_incremental_neardup`
+(SURVEY.md §7.3 v4 extension; the reference has no streaming).
+
+Every micro-batch of incoming documents is screened against a
+PERSISTED corpus LSH index before being admitted to it:
+
+    batch → shingle hashes → MinHash signatures → band keys
+          → candidates = batch bands ⋈ index bands (keyed equi-join)
+          → exact-Jaccard verify against the index's shingle sets
+          → matches appended to `matches_path`
+          → batch's own shingles+bands appended to the index
+
+The index is two parquet relations under `index_path`:
+    shingles/  (doc_id, sh)            — for exact verification
+    bands/     (doc_id, band, band_hash) — for candidate generation
+Exactly what a production ingest keeps hot: O(index docs × 4) band
+rows and the shingle sets — never the documents themselves.
+
+Semantics: a pair is flagged when the LATER document arrives (earlier
+doc is already indexed); duplicates WITHIN one micro-batch are not
+flagged here — that is `dedup_incremental`'s batch_dup screen /
+`minhash_lsh_pairs` at rest. The foreachBatch body runs batch
+DataFrame ops only (keyed joins, no collect of data rows), and the
+checkpoint serializes batches, so index appends never race.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apd_map_reduce_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    band_relation,
+    doc_shingle_hashes,
+    minhash_signatures,
+)
+
+
+def _screen_and_index(index_path: str, matches_path: str, threshold: float):
+    shingle_dir = os.path.join(index_path, "shingles")
+    band_dir = os.path.join(index_path, "bands")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # One materialization of the batch's shingle relation feeds
+        # signatures AND (potential) verification AND the index append.
+        bsh = doc_shingle_hashes(batch_df).cache()
+        bbands = band_relation(minhash_signatures(batch_df, sh=bsh))
+
+        if os.path.isdir(band_dir):
+            cband = spark.read.parquet(band_dir)
+            csh = spark.read.parquet(shingle_dir)
+            candidates = (
+                bbands.alias("b")
+                .join(
+                    cband.alias("c"),
+                    (F.col("b.band") == F.col("c.band"))
+                    & (F.col("b.band_hash") == F.col("c.band_hash")),
+                )
+                .select(
+                    F.col("b.doc_id").alias("batch_doc"),
+                    F.col("c.doc_id").alias("corpus_doc"),
+                )
+                .distinct()
+            )
+            bcounts = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+            ccounts = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+            common = (
+                candidates.join(
+                    bsh.select(F.col("doc_id").alias("batch_doc"), "sh"), "batch_doc"
+                )
+                .join(
+                    csh.select(F.col("doc_id").alias("corpus_doc"), "sh"),
+                    ["corpus_doc", "sh"],
+                )
+                .groupBy("batch_doc", "corpus_doc")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            matches = (
+                common.join(
+                    bcounts.select(F.col("doc_id").alias("batch_doc"), "n_b"),
+                    "batch_doc",
+                )
+                .join(
+                    ccounts.select(F.col("doc_id").alias("corpus_doc"), "n_c"),
+                    "corpus_doc",
+                )
+                .withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("n_common").cast("double")
+                        / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
+                        6,
+                    ),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select(
+                    "batch_doc",
+                    "corpus_doc",
+                    "jaccard",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+            matches.write.mode("append").parquet(matches_path)
+
+        # Admit the batch to the index (append-only; the streaming
+        # checkpoint guarantees each batch lands exactly once absent
+        # mid-append crashes — for stronger guarantees put the index
+        # in a transactional table format).
+        bsh.write.mode("append").parquet(shingle_dir)
+        bbands.write.mode("append").parquet(band_dir)
+        bsh.unpersist()
+
+    return process
+
+
+def neardup_ingest_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint: str,
+    threshold: float = JACCARD_THRESHOLD,
+):
+    """Start the screening ingest over a streaming documents relation
+    (columns doc_id, text). Returns the started StreamingQuery."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            _screen_and_index(index_path, matches_path, threshold)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_matches(spark, matches_path: str) -> DataFrame:
+    return spark.read.parquet(matches_path)

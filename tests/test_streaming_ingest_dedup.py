@@ -1,0 +1,93 @@
+"""Streaming near-dup ingest: micro-batches screened against the
+persisted corpus LSH index match the batch-twin incremental screen."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from apd_map_reduce_spark.streaming.ingest_dedup import (
+    neardup_ingest_stream,
+    read_matches,
+)
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+# This exact pair is a verified band collision under the fixed MinHash
+# family (same fixture as test_dedup_family_partition_sweep) — LSH
+# recall is probabilistic per pair, so tests must plant KNOWN colliders.
+BASE = "the quick brown fox jumps over the lazy dog tonight"
+NEAR = "the quick brown fox jumps over the lazy cat tonight"
+OTHER = "completely unrelated content about database engines and planners"
+
+
+@pytest.fixture()
+def two_batch_dirs(spark, tmp_path):
+    """Two parquet files dropped so maxFilesPerTrigger=1 yields two
+    micro-batches; file order is by modification time, so write them
+    sequentially."""
+    d = tmp_path / "docs_in"
+    first = spark.createDataFrame([(1, BASE), (2, OTHER)], DOCS_SCHEMA)
+    first.coalesce(1).write.mode("append").parquet(str(d))
+    second = spark.createDataFrame([(10, NEAR), (11, "fresh standalone words entirely new here today")], DOCS_SCHEMA)
+    second.coalesce(1).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def test_streaming_ingest_flags_cross_batch_near_dup(spark, tmp_path, two_batch_dirs):
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(two_batch_dirs)
+    )
+    index = str(tmp_path / "lsh_index")
+    matches = str(tmp_path / "matches")
+    q = neardup_ingest_stream(
+        stream, index, matches, checkpoint=str(tmp_path / "ckpt"), threshold=0.2
+    )
+    q.awaitTermination()
+
+    got = {
+        frozenset((r.batch_doc, r.corpus_doc)): r.jaccard
+        for r in read_matches(spark, matches).collect()
+    }
+    # The only qualifying cross-batch pair is (NEAR, BASE); OTHER and
+    # the fresh doc share no shingles with anything.
+    assert set(got) == {frozenset((10, 1))}
+    assert 0.2 <= got[frozenset((10, 1))] < 1.0
+
+    # The index admitted every doc exactly once.
+    bands = spark.read.parquet(os.path.join(index, "bands"))
+    assert bands.select("doc_id").distinct().count() == 4
+    assert bands.count() == 4 * 4  # LSH_BANDS rows per doc
+
+
+def test_streaming_ingest_matches_batch_twin(spark, tmp_path, two_batch_dirs):
+    """Whatever the stream flags must equal the batch-twin screen of
+    'later file vs earlier file' (pair orientation normalized)."""
+    from apd_map_reduce_spark.operators.dedup import dedup_incremental_neardup
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(two_batch_dirs)
+    )
+    index = str(tmp_path / "idx2")
+    matches = str(tmp_path / "m2")
+    q = neardup_ingest_stream(
+        stream, index, matches, checkpoint=str(tmp_path / "ck2"), threshold=0.2
+    )
+    q.awaitTermination()
+
+    got = {
+        frozenset((r.batch_doc, r.corpus_doc)) for r in read_matches(spark, matches).collect()
+    }
+    all_docs = spark.read.parquet(two_batch_dirs)
+    lo = all_docs.filter("doc_id < 10")
+    hi = all_docs.filter("doc_id >= 10")
+    expected = {
+        frozenset((r.batch_doc, r.corpus_doc))
+        for r in dedup_incremental_neardup(lo, hi, threshold=0.2).collect()
+    }
+    assert got == expected
