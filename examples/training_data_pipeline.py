@@ -1,0 +1,102 @@
+"""End-to-end training-data pipeline — the composition story.
+
+Takes a raw documents table to a publishable, deduplicated,
+quality-filtered JSONL shard set, using only library operators:
+
+    1. profile       corpus_source_profile     (what are we starting from?)
+    2. screen        dedup_incremental         (exact) +
+                     dedup_incremental_neardup (LSH)   for NEW batches
+    3. clean         remove_boilerplate        (strip repeated spans)
+    4. dedup         dup_groups + canonical_selection  (keep best copy)
+    5. filter        quality_score thresholds
+    6. deliver       write_jsonl_shards        (training loader format)
+
+Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
+
+Every stage is a DataFrame→DataFrame transform, so Catalyst sees ONE
+logical plan per action and the whole flow inherits the operators'
+scale posture (keyed joins, banded candidate generation, no collect).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_clean_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 8
+) -> dict:
+    from apd_map_reduce_spark.operators.components import canonical_selection
+    from apd_map_reduce_spark.operators.curation import corpus_source_profile
+    from apd_map_reduce_spark.operators.dedup import remove_boilerplate
+    from apd_map_reduce_spark.operators.textstats import quality_score
+    from apd_map_reduce_spark.sinks import write_jsonl_shards
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. Profile what we start from (the dataset card of the raw drop).
+    profile_rows = corpus_source_profile(docs).count()
+
+    # 2-4. Drop every non-canonical member of each transitive dup
+    # group (exact + LSH near-dup closure; keep the longest copy).
+    # Survivors = docs in no group at all + each group's canonical.
+    from apd_map_reduce_spark.operators.components import dup_groups
+
+    keep = canonical_selection(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    members = dup_groups(docs).select("doc_id")
+    survivors = (
+        docs.select("doc_id")
+        .join(members, "doc_id", "left_anti")
+        .unionByName(keep)
+    )
+
+    # 3. Strip cross-document boilerplate spans from the survivors.
+    cleaned = remove_boilerplate(docs).join(survivors, "doc_id", "left_semi")
+
+    # 5. Quality gate on the CLEANED text length + raw-doc ratios.
+    q = quality_score(docs).select("doc_id", "alpha_token_ratio")
+    final = (
+        cleaned.join(q, "doc_id")
+        .filter(
+            (F.size(F.split(F.col("clean_text"), " ")) >= 5)
+            & (F.col("clean_text") != "")
+            & (F.col("alpha_token_ratio") >= 0.5)
+        )
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+
+    # 6. Deliver as deterministic JSONL shards.
+    write_jsonl_shards(final, out_dir, n_shards=n_shards)
+    n_out = spark.read.json(out_dir).count()
+    return {
+        "raw_docs": docs.count(),
+        "profile_rows": profile_rows,
+        "survivors": survivors.count(),
+        "published": n_out,
+        "out_dir": out_dir,
+    }
+
+
+def main() -> int:
+    from apd_map_reduce_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/clean_shards"
+    spark = get_spark(app_name="training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = build_clean_shards(spark, sf_dir, out_dir)
+    print(stats)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -150,3 +150,19 @@ def test_dedup_incremental_classifies_three_ways(spark):
     )
     got = {r.doc_id: r.status for r in dedup_incremental(corpus, batch).collect()}
     assert got == {1: "exact_dup", 2: "new", 3: "batch_dup", 4: "new"}
+
+
+def test_example_pipeline_end_to_end(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from training_data_pipeline import build_clean_shards
+
+    out = str(tmp_path / "shards")
+    stats = build_clean_shards(spark, SF_SMOKE, out, n_shards=4)
+    assert stats["raw_docs"] == 500
+    assert 0 < stats["published"] <= stats["survivors"] <= stats["raw_docs"]
+    back = spark.read.json(out)
+    assert back.count() == stats["published"]
+    assert {"doc_id", "text", "shard"} <= set(back.columns)
