@@ -289,6 +289,22 @@ def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFram
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_collision_probability(
+    jaccard: float, bands: int = LSH_BANDS, rows: int = N_MINHASH // LSH_BANDS
+) -> float:
+    """The banded-LSH S-curve: probability that a pair with true
+    Jaccard similarity `jaccard` collides in at least one band —
+    1 - (1 - s^r)^b. This IS the recall contract of every LSH-based
+    operator here (minhash_lsh_pairs, dedup_incremental_neardup, the
+    streaming ingest screen): a qualifying pair is REPORTED only if it
+    band-collides, and with the default b=4, r=4 the curve gives
+    ~0.99 at s=0.9, ~0.84 at s=0.7, ~0.23 at s=0.5, ~0.03 at s=0.3 —
+    use it to size (bands, rows) for a target similarity threshold,
+    and to understand why tests must plant KNOWN colliders rather than
+    arbitrary near-dups."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
 def band_relation(sig: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) from a k=16 signature relation.
 

@@ -284,3 +284,14 @@ def test_dedup_family_partition_sweep(spark):
         assert incr == base_incr, f"incremental diverged at shuffle.partitions={n}"
     assert base_pairs, "expected at least one near-dup pair in the fixture"
     assert base_incr, "expected at least one cross-side pair in the fixture"
+
+
+def test_lsh_collision_probability_curve():
+    from apd_map_reduce_spark.operators.dedup import lsh_collision_probability as p
+
+    assert p(1.0) == 1.0 and p(0.0) == 0.0
+    assert 0.98 < p(0.9) < 1.0
+    assert 0.2 < p(0.5) < 0.25
+    # monotone in s; more bands raise recall at fixed r
+    assert p(0.6) > p(0.5) > p(0.4)
+    assert p(0.5, bands=8) > p(0.5, bands=4)
