@@ -168,7 +168,11 @@ JOIN (
 DUP_GROUPS_ORACLE = _dup_groups_oracle()
 
 
-def canonical_selection(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def canonical_selection(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    groups: DataFrame | None = None,
+) -> DataFrame:
     """Pick the document to KEEP from each transitive duplicate group:
     the longest copy (token count), ties to the lowest doc_id — the
     realistic curation policy ("keep the most complete version"), vs
@@ -181,12 +185,18 @@ def canonical_selection(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Scale: dup_groups' component relation joins a narrow per-doc token
     count, then one window per component (components are small by
-    construction — near-dup cliques); no global sort."""
+    construction — near-dup cliques); no global sort.
+
+    `groups` (optional): a precomputed `dup_groups(docs, threshold)`
+    relation — pass it when the caller already ran the closure (the
+    component computation is an iterative driver loop Catalyst cannot
+    deduplicate across two calls)."""
     from pyspark.sql.window import Window
 
     from apd_map_reduce_spark.operators.dedup import normalized_tokens
 
-    groups = dup_groups(docs, threshold=threshold)
+    if groups is None:
+        groups = dup_groups(docs, threshold=threshold)
     ntok = docs.select(
         "doc_id", F.size(normalized_tokens()).cast("long").alias("n_tokens")
     )

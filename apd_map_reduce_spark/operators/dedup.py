@@ -788,13 +788,26 @@ def remove_boilerplate(
     START positions only (collect_set per doc of ≤ n_tokens ints), so
     no positions-level shuffle exists. The only shuffles are the span
     df-aggregation, the window⋈span join, and the per-doc start
-    aggregation — all keyed, all uniform."""
-    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    aggregation — all keyed, all uniform. The token relation is built
+    ONCE (cached: window derivation + final masking join both read
+    it), and the span-df relation derives from the same window rows
+    instead of re-running `boilerplate_spans`' separate
+    tokenize+shingle pass."""
+    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
     win = toks.select(
         "doc_id",
         F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
     )
-    spans = boilerplate_spans(docs, n=n, min_df=min_df).select("span")
+    # Same semantics as boilerplate_spans: df counts DISTINCT docs per
+    # span (a span repeated within one doc counts once).
+    spans = (
+        win.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("span")
+    )
     flagged = (
         win.join(spans, "span")
         .groupBy("doc_id")

@@ -198,13 +198,15 @@ def write_jsonl_shards(
     as a column).
 
     Shard = 60-bit prefix of a seeded md5 of the row's doc_id modulo
-    n_shards (the same hash family `training_shuffle_order` uses):
+    n_shards (hash60 — the same family `training_shuffle_order` uses):
     re-running on the same corpus gives byte-identical shard
     membership regardless of parallelism, and a new seed is a full
-    reshuffle. One writer task per shard (repartition on the shard
-    column before partitionBy), so shard files are single-part and the
-    writer parallelism equals n_shards — at 100 TB raise n_shards, not
-    file sizes.
+    reshuffle. Each shard lands wholly in one partition (single-part
+    shard files); writer parallelism is the number of OCCUPIED hash
+    partitions — hashing n_shards keys into n_shards buckets collides
+    (~63% occupancy in expectation, same phenomenon documented at
+    invindex's letter sink), so effective parallelism is ~0.63 ×
+    n_shards. At 100 TB raise n_shards, not file sizes.
 
     Rows are serialized with to_json over the full row struct; readers
     get every column back (spark.read.json(path) round-trips modulo
@@ -212,10 +214,10 @@ def write_jsonl_shards(
     """
     from pyspark.sql import functions as F
 
-    key = F.md5(F.concat_ws(":", F.lit("jsonl"), F.lit(seed), F.col("doc_id")))
-    shard = (
-        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
-    ).cast("int")
+    from apd_map_reduce_spark.operators.dedup import hash60
+
+    seeded = F.concat_ws(":", F.lit("jsonl"), F.lit(seed), F.col("doc_id"))
+    shard = (hash60(seeded) % n_shards).cast("int")
     out = df.withColumn(
         "shard", F.format_string("shard-%05d", shard)
     ).withColumn("value", F.to_json(F.struct(*df.columns)))

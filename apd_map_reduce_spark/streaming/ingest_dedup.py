@@ -20,9 +20,13 @@ rows and the shingle sets — never the documents themselves.
 Semantics: a pair is flagged when the LATER document arrives (earlier
 doc is already indexed); duplicates WITHIN one micro-batch are not
 flagged here — that is `dedup_incremental`'s batch_dup screen /
-`minhash_lsh_pairs` at rest. The foreachBatch body runs batch
-DataFrame ops only (keyed joins, no collect of data rows), and the
-checkpoint serializes batches, so index appends never race.
+`minhash_lsh_pairs` at rest. A doc_id ALREADY IN THE INDEX that
+arrives again (a re-crawl/replay) is skipped entirely — neither
+re-screened nor re-admitted: double-admitting would duplicate its
+shingle rows, double-counting every later intersection against it
+(jaccard > 1) and making its band keys m-hot. The foreachBatch body
+runs batch DataFrame ops only (keyed joins, no collect of data rows),
+and the checkpoint serializes batches, so index appends never race.
 """
 
 from __future__ import annotations
@@ -39,6 +43,22 @@ from apd_map_reduce_spark.operators.dedup import (
     minhash_signatures,
 )
 
+MATCHES_SCHEMA = (
+    "batch_doc LONG, corpus_doc LONG, jaccard DOUBLE, batch_id LONG"
+)
+
+
+def _try_read_parquet(spark, path: str) -> DataFrame | None:
+    """FS-agnostic existence probe: attempt the read and treat the
+    analyzer's path-not-found as 'no index yet'. A driver-local
+    os.path.isdir would silently disable screening on any non-local
+    URI (HDFS/S3) — always-False means every batch admitted
+    unscreened, a 100% recall loss with no error."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # AnalysisException: PATH_NOT_FOUND
+        return None
+
 
 def _screen_and_index(index_path: str, matches_path: str, threshold: float):
     shingle_dir = os.path.join(index_path, "shingles")
@@ -46,14 +66,21 @@ def _screen_and_index(index_path: str, matches_path: str, threshold: float):
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        cband = _try_read_parquet(spark, band_dir)
+        csh = _try_read_parquet(spark, shingle_dir)
+
+        # Skip re-arrivals of already-indexed doc_ids (see module
+        # docstring) BEFORE any shingling work.
+        if cband is not None:
+            known = cband.select("doc_id").distinct()
+            batch_df = batch_df.join(known, "doc_id", "left_anti")
+
         # One materialization of the batch's shingle relation feeds
         # signatures AND (potential) verification AND the index append.
         bsh = doc_shingle_hashes(batch_df).cache()
         bbands = band_relation(minhash_signatures(batch_df, sh=bsh))
 
-        if os.path.isdir(band_dir):
-            cband = spark.read.parquet(band_dir)
-            csh = spark.read.parquet(shingle_dir)
+        if cband is not None and csh is not None:
             candidates = (
                 bbands.alias("b")
                 .join(
@@ -106,6 +133,16 @@ def _screen_and_index(index_path: str, matches_path: str, threshold: float):
                 )
             )
             matches.write.mode("append").parquet(matches_path)
+        else:
+            # First batch of a fresh pipeline: materialize an EMPTY
+            # matches relation so read_matches works after a
+            # single-micro-batch drain (availableNow batches up to
+            # 1000 files by default — a small first deployment is one
+            # batch, and 'no duplicates yet' must read as 0 rows, not
+            # a missing-path error).
+            spark.createDataFrame([], MATCHES_SCHEMA).write.mode(
+                "append"
+            ).parquet(matches_path)
 
         # Admit the batch to the index (append-only; the streaming
         # checkpoint guarantees each batch lands exactly once absent

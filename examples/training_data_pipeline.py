@@ -47,20 +47,27 @@ def build_clean_shards(
     # 2-4. Drop every non-canonical member of each transitive dup
     # group (exact + LSH near-dup closure; keep the longest copy).
     # Survivors = docs in no group at all + each group's canonical.
+    # The dup graph (iterative connected components — a driver loop
+    # Catalyst can't deduplicate) is computed ONCE and shared.
     from apd_map_reduce_spark.operators.components import dup_groups
 
-    keep = canonical_selection(docs).select(
+    groups = dup_groups(docs).localCheckpoint()
+    keep = canonical_selection(docs, groups=groups).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    members = dup_groups(docs).select("doc_id")
+    members = groups.select("doc_id")
     survivors = (
         docs.select("doc_id")
         .join(members, "doc_id", "left_anti")
         .unionByName(keep)
     )
 
-    # 3. Strip cross-document boilerplate spans from the survivors.
-    cleaned = remove_boilerplate(docs).join(survivors, "doc_id", "left_semi")
+    # 3. Strip cross-document boilerplate spans — computed over the
+    # SURVIVORS, not the raw corpus: span document-frequency counted
+    # pre-dedup would see each dup group's entire content as a
+    # "repeated span" and blank the very copy dedup chose to keep.
+    survivor_docs = docs.join(survivors, "doc_id", "left_semi")
+    cleaned = remove_boilerplate(survivor_docs)
 
     # 5. Quality gate on the CLEANED text length + raw-doc ratios.
     q = quality_score(docs).select("doc_id", "alpha_token_ratio")

@@ -91,3 +91,49 @@ def test_streaming_ingest_matches_batch_twin(spark, tmp_path, two_batch_dirs):
         for r in dedup_incremental_neardup(lo, hi, threshold=0.2).collect()
     }
     assert got == expected
+
+
+def test_streaming_ingest_skips_rearrived_doc_ids(spark, tmp_path):
+    """A doc_id the index already holds is neither re-admitted (which
+    would double its shingle rows and break jaccard) nor re-screened."""
+    d = tmp_path / "docs_re"
+    spark.createDataFrame([(1, BASE)], DOCS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    spark.createDataFrame([(1, BASE), (2, OTHER)], DOCS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(str(d))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    index = str(tmp_path / "idx_re")
+    matches = str(tmp_path / "m_re")
+    q = neardup_ingest_stream(
+        stream, index, matches, checkpoint=str(tmp_path / "ck_re"), threshold=0.2
+    )
+    q.awaitTermination()
+
+    bands = spark.read.parquet(os.path.join(index, "bands"))
+    # doc 1 indexed exactly once despite arriving twice
+    assert bands.filter("doc_id = 1").count() == 4
+    assert read_matches(spark, matches).count() == 0
+
+
+def test_streaming_ingest_single_batch_creates_empty_matches(spark, tmp_path):
+    d = tmp_path / "docs_one"
+    spark.createDataFrame([(1, BASE), (2, OTHER)], DOCS_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(d))
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(str(d))
+    matches = str(tmp_path / "m_one")
+    q = neardup_ingest_stream(
+        stream, str(tmp_path / "idx_one"), matches,
+        checkpoint=str(tmp_path / "ck_one"),
+    )
+    q.awaitTermination()
+    # fresh single-batch pipeline: 'no duplicates yet' reads as 0 rows,
+    # not a missing-path error
+    assert read_matches(spark, matches).count() == 0
