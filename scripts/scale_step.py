@@ -1,0 +1,81 @@
+"""Scale-step measurement: how does each scale-sensitive operator's
+wall-clock grow across 10x data steps (sf0.001 → sf0.01 → sf0.1)?
+
+The question the 100 TB grade actually asks: is candidate generation
+banded (near-linear growth) or quadratic? Growth factors are reported
+per 10x step alongside output row counts (pair counts legitimately
+grow faster than linear when the data's duplicate density grows —
+interpret time growth against result growth, not in isolation).
+Protocol of record: warm pass, then min-of-3 noop-sink runs with
+caches cleared between passes (same as bench.py).
+
+Usage: python scripts/scale_step.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from apd_map_reduce_spark.registry import QUERY_INDEX  # noqa: E402
+from apd_map_reduce_spark.session import get_spark  # noqa: E402
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental_neardup",
+    "corpus_clean_snapshot",
+    "ann_cosine_topk",
+    "text_boilerplate_spans",
+    "corpus_inverted_index",
+]
+PASSES = 3
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    spark = get_spark(app_name="scale-step")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        q = QUERY_INDEX[name]
+        per_sf: dict[str, dict] = {}
+        for sf_dir in SF_DIRS:
+            sf = sf_dir.rsplit("sf", 1)[-1]
+            rows = q.fn(spark, sf_dir).count()
+            run(q.fn(spark, sf_dir))  # warm
+            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(PASSES):
+                t0 = time.time()
+                run(q.fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            per_sf[sf] = {"sec": round(best, 3), "rows": rows}
+        sfs = [d.rsplit("sf", 1)[-1] for d in SF_DIRS]
+        growth = [
+            round(per_sf[sfs[i + 1]]["sec"] / per_sf[sfs[i]]["sec"], 2)
+            for i in range(len(sfs) - 1)
+        ]
+        results[name] = {"per_sf": per_sf, "time_growth_per_10x": growth}
+        print(f"{name}: {per_sf} growth {growth}")
+
+    payload = {"protocol": "warm + min-of-3 noop, caches cleared", "queries": results}
+    print(json.dumps(payload))
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
