@@ -345,6 +345,121 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+BM25_QUERY = ("hash", "join", "dup")  # two common terms + one rare (df≈5%)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query term set — the ranking
+    function production corpus search runs over the inverted index the
+    reference builds (tema1a/src/main.cpp word→{file_id}; this adds tf,
+    doc-length normalization, and the Robertson/Sparck-Jones idf).
+
+    Determinism: idf and the per-term partial score are each rounded to
+    6 decimals, per-doc totals are summed as exact decimals, and every
+    float literal is an explicit DOUBLE in both engines (DuckDB parses
+    bare `2.2` as DECIMAL, which would change the arithmetic). All
+    divisions are single double ops on identical operands, so the
+    ranking keys are bit-equal cross-engine.
+
+    Scale: the term filter lands right after the tokenizer, so only
+    postings for the |Q| query terms survive to the shuffle — tf is
+    O(docs-containing-a-query-term), df and the (N, total_tokens)
+    scalars are broadcast, and the final top-k is one window pass over
+    the scored docs. The corpus is scanned exactly once."""
+    base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).alias("total_tokens"),
+    )
+    tok = base.select(
+        "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
+    ).filter(F.col("term").isin(list(terms)))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    lr = F.round(
+        (F.col("dl") * F.col("n_docs")).cast("double")
+        / F.col("total_tokens").cast("double"),
+        6,
+    )
+    tfd = F.col("tf").cast("double")
+    part = F.round(
+        idf
+        * (
+            (tfd * F.lit(BM25_K1 + 1.0))
+            / (tfd + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * lr))
+        ),
+        6,
+    ).cast("decimal(12,6)")
+    scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(part).cast("double").alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # Single-partition window: the scored relation is already reduced
+    # to docs matching a query term; for a global top-k at 100 TB use
+    # topk_orders' per-partition pre-prune shape instead.
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "n_terms_matched", "score")
+    )
+
+
+def _bm25_oracle(terms: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    k1 = BM25_K1
+    b = BM25_B
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(len(ts)) AS total_tokens FROM toks),
+tok AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({term_list}) GROUP BY doc_id, dl, term
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+parts AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ROUND(ln(((n_docs - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE), 6)
+           * ((tf::DOUBLE * {k1 + 1.0!r}::DOUBLE)
+              / (tf::DOUBLE + {k1!r}::DOUBLE *
+                 ({1.0 - b!r}::DOUBLE + {b!r}::DOUBLE *
+                  ROUND((dl * n_docs)::DOUBLE / total_tokens::DOUBLE, 6)))),
+         6) AS DECIMAL(12,6)) AS part
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_terms_matched, SUM(part)::DOUBLE AS score
+  FROM parts GROUP BY doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms_matched, score
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def bigram_logprob(docs: DataFrame) -> DataFrame:
     """Bigram language-model fluency score: mean log10 of the corpus
     conditional probability p(w2 | w1) = c(w1,w2) / c(w1,·) over each
@@ -418,4 +533,5 @@ COOCCUR_QUERIES = [
     QueryDef("text_tfidf_top_terms", lambda s, d: tfidf_top_terms(_docs(s, d)), _TFIDF_ORACLE),
     QueryDef("text_postings_delta", lambda s, d: delta_postings(_docs(s, d)), _DELTA_POSTINGS_ORACLE),
     QueryDef("text_bigram_logprob", lambda s, d: bigram_logprob(_docs(s, d)), _BIGRAM_ORACLE),
+    QueryDef("text_bm25_search", lambda s, d: bm25_search(_docs(s, d)), _bm25_oracle()),
 ]

@@ -371,6 +371,89 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {k}
 """
 
 
+def semdedup_prune(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    detect semantic duplicates ONLY within each cluster — the paper's
+    trick for making embedding dedup tractable at web scale, since the
+    quadratic pair search is confined to cluster-sized blocks.
+
+    Keep policy (deterministic, closure-free): a vector is pruned iff
+    some lower-id vector in the SAME cluster has cosine >= threshold.
+    "Lower id wins" needs no transitive closure, so the decision is a
+    single EXISTS per row — contrast dedup_transitive_groups, which
+    pays the iterative connected-components cost for the closure
+    semantics.
+
+    Scale: cluster_id (nearest coarse centroid, literal constants) is
+    the shuffle key — the self-join is an equi-join touching 1/K of the
+    corpus per block. In-cluster work is O(m²) by design (the paper's
+    accepted cost); a skewed hot cluster would be handled like the
+    exact-dup pre-group in minhash_lsh_pairs — dedup identical vectors
+    first, or sub-shard the cluster on a secondary LSH bit."""
+    assigned = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.element_at(_centroid_ranking("embedding"), 1).cast("long").alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cluster_id"
+    )
+    pruned_ids = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(_dvec("emb_a"), _dvec("emb_b"))
+                / (_norm(_dvec("emb_a")) * _norm(_dvec("emb_b"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        assigned.join(pruned_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("hit").isNotNull().alias("pruned"),
+        )
+    )
+
+
+def _semdedup_oracle(threshold: float = 0.3) -> str:
+    cents = _centroids()
+    cent_literals = ", ".join("[" + ", ".join(f"{v!r}" for v in row) + "]" for row in cents)
+    dist_structs = ", ".join(
+        f"{{'d': ROUND(list_distance(cents[{c + 1}], emb), 6), 'cid': {c}}}"
+        for c in range(N_CENTROIDS)
+    )
+    return f"""
+WITH cent_t AS (SELECT [{cent_literals}]::DOUBLE[][] AS cents),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         (list_transform(list_sort([{dist_structs}]), s -> s.cid))[1]::BIGINT AS cluster_id
+  FROM embeddings, cent_t
+),
+pruned AS (
+  SELECT DISTINCT y.vec_id
+  FROM b x JOIN b y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  WHERE ROUND(list_dot_product(x.emb, y.emb)
+              / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))), 6)
+        >= {threshold}
+)
+SELECT b.vec_id, b.cluster_id, (b.vec_id IN (SELECT vec_id FROM pruned)) AS pruned
+FROM b
+"""
+
+
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
@@ -383,5 +466,10 @@ SIMILARITY_QUERIES = [
         "dedup_embedding_cosine",
         lambda s, d: embedding_near_dups(_emb(s, d), threshold=0.3),
         _near_dup_oracle(threshold=0.3),
+    ),
+    QueryDef(
+        "dedup_semantic_clusters",
+        lambda s, d: semdedup_prune(_emb(s, d), threshold=0.3),
+        _semdedup_oracle(threshold=0.3),
     ),
 ]

@@ -486,6 +486,89 @@ GROUP BY t.doc_id
 """
 
 
+PPL_BUCKETS = 3  # CCNet convention: head / middle / tail
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = PPL_BUCKETS) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score each document with the cheap LM proxy
+    (mean log10 corpus token frequency, same statistic as
+    text_unigram_logprob), then split each language into equal-sized
+    head/middle/tail buckets by score — the standard recipe for
+    quality-stratifying a crawl before sampling training data.
+
+    Determinism: the score is the unigram_logprob statistic (exact
+    decimal sum / exact count); NTILE runs over a TOTAL order
+    (score DESC, doc_id ASC), so bucket boundaries cannot differ
+    cross-engine. Zero-token docs drop out in both engines (inner
+    join to the frequency table).
+
+    Scale: the frequency table is vocabulary-sized (broadcast); the
+    per-doc agg is one keyed shuffle; NTILE partitions by lang — a
+    per-language skew concern only if one language dominates, in which
+    case the production path is quantile thresholds from
+    approx_percentile instead of a global-per-lang window."""
+    tok = spread(docs).select(
+        "doc_id", "lang", F.explode(normalized_tokens()).alias("token")
+    )
+    freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    log_dec = F.round(F.log10(F.col("freq").cast("double")), 6).cast("decimal(12,6)")
+    per_doc = (
+        tok.join(F.broadcast(freqs), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(log_dec).cast("double") / F.count(F.lit(1))).alias("mean_log10_freq"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_log10_freq"), F.asc("doc_id")
+    )
+    bucket = F.ntile(n_buckets).over(w).cast("long")
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_log10_freq",
+        bucket.alias("ppl_bucket"),
+        label.alias("bucket_label"),
+    )
+
+
+PPL_BUCKETS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(list_transform(string_split_regex(text, '\\s+'),
+                t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '')) AS token
+  FROM documents
+),
+freqs AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+per_doc AS (
+  SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(ROUND(log10(CAST(f.freq AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
+           / COUNT(*) AS mean_log10_freq
+  FROM tok t JOIN freqs f ON t.token = f.token
+  GROUP BY t.doc_id, t.lang
+),
+bucketed AS (
+  SELECT doc_id, lang, n_tokens, mean_log10_freq,
+         NTILE({PPL_BUCKETS}) OVER (PARTITION BY lang
+                                    ORDER BY mean_log10_freq DESC, doc_id ASC)::BIGINT AS ppl_bucket
+  FROM per_doc
+)
+SELECT doc_id, lang, n_tokens, mean_log10_freq, ppl_bucket,
+       CASE WHEN ppl_bucket = 1 THEN 'head'
+            WHEN ppl_bucket = {PPL_BUCKETS} THEN 'tail'
+            ELSE 'middle' END AS bucket_label
+FROM bucketed
+"""
+
+
 TEXTSTATS_QUERIES = [
     QueryDef("text_token_stats", lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_ORACLE),
     QueryDef("text_quality_score", lambda s, d: quality_score(_docs(s, d)), QUALITY_ORACLE),
@@ -496,4 +579,5 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_unigram_logprob", lambda s, d: unigram_logprob(_docs(s, d)), UNIGRAM_ORACLE),
     QueryDef("text_token_entropy", lambda s, d: token_entropy(_docs(s, d)), ENTROPY_ORACLE),
     QueryDef("text_lang_id_ngram", lambda s, d: lang_id_ngram(_docs(s, d)), _lang_ngram_oracle()),
+    QueryDef("text_perplexity_buckets", lambda s, d: perplexity_buckets(_docs(s, d)), PPL_BUCKETS_ORACLE),
 ]
