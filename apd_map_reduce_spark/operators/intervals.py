@@ -276,7 +276,89 @@ FROM counts
 """
 
 
+def lateness_audit(events: DataFrame) -> DataFrame:
+    """Watermark-sizing audit: how out-of-order is each event type's
+    stream? Lateness of an event = how far its event-time trails the
+    maximum event-time already seen on the same key's arrival order
+    (event_id = ingestion sequence). This is THE statistic you read
+    before choosing `withWatermark` delays — p95/max lateness bound the
+    state-retention window the streaming operators need.
+
+    Determinism: lateness is computed in exact integer microseconds
+    (unix_micros / epoch_us), reported in whole seconds by integer
+    division; percentiles are DISCRETE (actual data values), so both
+    engines agree bit-for-bit.
+
+    Scale: the running max is a per-user_id window (keyed, bounded
+    partitions) — never a global single-partition ordering; the rollup
+    is one low-cardinality groupBy. On a real ingest you'd key by the
+    source shard instead of user_id; the shape is identical.
+
+    The synthetic corpus is ingested perfectly in event-time order
+    (event_id monotone in ts), under which every lateness statistic is
+    a degenerate 0 — so the audit is exercised against a DETERMINISTIC
+    delayed-arrival permutation: every event_id ≡ 7 (mod 10) arrives
+    997 sequence positions late (a fixed 10% straggler model, the
+    disorder shape a lagging ingest shard produces). On real data,
+    replace arrival_key with the actual ingest sequence."""
+    arrival_key = F.col("event_id") + F.when(
+        F.col("event_id") % 10 == 7, F.lit(997)
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = events.withColumn("arrival_key", arrival_key).select(
+        "event_type",
+        (
+            (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+            .cast("long")
+            .alias("late_us")
+        ),
+    ).withColumn("late_s", (F.col("late_us") / F.lit(1000000)).cast("long"))
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY late_s)")
+        .cast("long")
+        .alias("p50_late_s"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY late_s)")
+        .cast("long")
+        .alias("p95_late_s"),
+        F.max("late_s").alias("max_late_s"),
+    )
+
+
+_LATENESS_ORACLE = """
+WITH a AS (
+  SELECT *, event_id + (CASE WHEN event_id % 10 = 7 THEN 997 ELSE 0 END) AS arrival_key
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         (MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY arrival_key, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+          - epoch_us(ts))::BIGINT AS late_us
+  FROM a
+),
+s AS (SELECT event_type, late_us, (late_us // 1000000)::BIGINT AS late_s FROM l)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       quantile_disc(late_s, 0.5)::BIGINT AS p50_late_s,
+       quantile_disc(late_s, 0.95)::BIGINT AS p95_late_s,
+       MAX(late_s)::BIGINT AS max_late_s
+FROM s
+GROUP BY event_type
+"""
+
+
 INTERVAL_QUERIES = [
+    QueryDef(
+        "events_lateness_audit",
+        lambda s, d: lateness_audit(load_table(s, d, "events")),
+        _LATENESS_ORACLE,
+    ),
     QueryDef(
         "events_error_click_window",
         lambda s, d: error_click_window(load_table(s, d, "events")),

@@ -297,6 +297,124 @@ FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
 """
 
 
+PHASH_BITS = 16
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+PHASH_SCHEMA = "doc_id LONG, phash LONG"
+
+
+def _phash_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic blocked-mean perceptual hash over the payload
+    bytes: bit i = (chunk i's byte sum) * PHASH_BITS > total — i.e.
+    "chunk mean above global mean", the blockhash/aHash construction,
+    computed in exact integers (cross-multiplication, no division).
+    Real image pHash runs a DCT over decoded pixels (codec absent);
+    the hash/banding plumbing is identical."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "phash": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n = max(len(b), 1)
+            step = max(n // PHASH_BITS, 1)
+            sums = [sum(b[i * step : (i + 1) * step]) for i in range(PHASH_BITS)]
+            total = sum(sums)
+            h = 0
+            for i, s in enumerate(sums):
+                if s * PHASH_BITS > total:
+                    h |= 1 << i
+            out["doc_id"].append(doc_id)
+            out["phash"].append(h)
+        yield pd.DataFrame(out)
+
+
+def multimodal_phash(docs: DataFrame) -> DataFrame:
+    """Per-doc perceptual hash (library API; the near-dup pair query
+    below is the registered surface)."""
+    binary = _ascii_only(docs).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return binary.mapInPandas(_phash_stub, PHASH_SCHEMA)
+
+
+def multimodal_phash_neardup(
+    docs: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary payloads —
+    image-style near-dup detection for the multimodal column, the
+    visual sibling of simhash_near_dups.
+
+    Candidate generation is banded (same pigeonhole as SimHash): the
+    16-bit hash splits into 4 nibbles; hamming(a,b) <= 3 forces at
+    least one intact nibble, so candidates come from 4 per-band
+    equi-joins — never an all-pairs product. Candidates are verified
+    with the exact popcount of the XOR.
+
+    Scale: production uses a 64-bit DCT pHash with the identical
+    band-join shape (e.g. 8 bytes → hamming <= 7 guaranteed); a hot
+    band bucket (near-constant images) is pre-grouped by exact hash
+    first, like minhash_lsh_pairs' exact-dup pre-group."""
+    ph = multimodal_phash(docs)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(PHASH_BANDS)])).alias("band"),
+    ).withColumn("nibble", F.expr("shiftright(phash, band * 4) & 15"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "nibble"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "nibble"
+    )
+    cand = (
+        a.join(b, ["band", "nibble"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("ph_a ^ ph_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+PHASH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(greatest(octet_length(encode(text)), 1) // {PHASH_BITS}, 1) AS step,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents WHERE {ASCII_PRED}
+),
+sums AS (
+  SELECT doc_id,
+         list_transform(range({PHASH_BITS}),
+           i -> coalesce(list_sum(list_slice(codes, i * step + 1, (i + 1) * step)), 0)::BIGINT) AS cs
+  FROM base
+),
+ph AS (
+  SELECT doc_id,
+         list_sum(list_transform(range({PHASH_BITS}),
+           i -> CASE WHEN cs[i + 1] * {PHASH_BITS} > list_sum(cs)
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS phash
+  FROM sums
+),
+bands0 AS (
+  SELECT doc_id, phash, unnest(generate_series(0, {PHASH_BANDS - 1})) AS band FROM ph
+),
+bands AS (
+  SELECT doc_id, phash, band, (phash >> (band * 4)) & 15 AS nibble FROM bands0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.nibble = b.nibble
+                           AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+"""
+
+
 MULTIMODAL_QUERIES = [
     QueryDef(
         "multimodal_metadata",
@@ -320,5 +438,10 @@ MULTIMODAL_QUERIES = [
         "multimodal_audio_stats",
         lambda s, d: multimodal_audio_stats(load_table(s, d, "documents")),
         AUDIO_ORACLE,
+    ),
+    QueryDef(
+        "multimodal_phash_neardup",
+        lambda s, d: multimodal_phash_neardup(load_table(s, d, "documents")),
+        PHASH_ORACLE,
     ),
 ]

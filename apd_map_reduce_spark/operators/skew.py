@@ -146,6 +146,78 @@ GROUP BY event_type
 """
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof fact⋈dim equi-join by key salting — the manual
+    fallback when the dim is too big to broadcast and a single hot fact
+    key would stall one sort-merge reducer (AQE's skew split handles
+    the common case; salting handles keys so hot that even a split
+    partition is one key's rows).
+
+    Mechanics: the dim side is replicated n_salts ways (explode over
+    the salt range — n_salts× dim rows, the technique's price); the
+    fact side computes a DETERMINISTIC salt from `salt_source` (a
+    stable row id — never rand() or monotonically_increasing_id, which
+    change under task retry), so the hot key's rows scatter over
+    n_salts composite (key, salt) reducers. The join result is
+    row-identical to the unsalted join; the registry query proves it
+    against a plain-join DuckDB oracle.
+
+    Scale: shuffle volume grows by the replicated dim (n_salts×|dim|)
+    — choose n_salts ≈ hot-key rows / healthy-partition rows, and
+    salt only the hot keys (split-and-union) when the dim is large."""
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    dim_rep = dim.withColumn("__dsalt", F.explode(salts))
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.crc32(F.col(salt_source).cast("string")), F.lit(n_salts)).cast("int"),
+    )
+    return (
+        fact_s.join(
+            dim_rep,
+            (F.col(fact_key) == F.col(dim_key)) & (F.col("__salt") == F.col("__dsalt")),
+        )
+        .drop("__salt", "__dsalt")
+    )
+
+
+def salted_join_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Registry query: events enriched with the customer dim through
+    the salted join, rolled up per market segment — driver-checked
+    against the plain JOIN + GROUP BY oracle, proving the salt is
+    result-transparent. Decimal-cast sums (module rule) keep the
+    post-join aggregation exact under any row order."""
+    from apd_map_reduce_spark.queries.base import as_double, dec2
+
+    joined = salted_join(
+        events.withColumn("v_dec", dec2("value")),
+        customer.select("c_custkey", "c_mktsegment"),
+        fact_key="user_id",
+        dim_key="c_custkey",
+        salt_source="event_id",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        as_double(F.sum("v_dec")).alias("total_value"),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def top_keys_by_frequency(df: DataFrame, key: Column | str, k: int = 10) -> DataFrame:
     """Skew diagnosis: the key histogram head (what you check before
     choosing salting / AQE / broadcast). One aggregation + a k-row

@@ -35,9 +35,11 @@ from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
 from apd_map_reduce_spark.operators.similarity import SIMILARITY_QUERIES
 from apd_map_reduce_spark.operators.skew import (
+    SALTED_JOIN_ORACLE,
     SALTED_TOTALS_ORACLE,
     TOP_KEYS_ORACLE,
     salted_event_totals,
+    salted_join_totals,
     top_keys_by_frequency,
 )
 from apd_map_reduce_spark.operators.snapshot import SNAPSHOT_QUERIES
@@ -101,6 +103,15 @@ BEHAVIOR_QUERIES = [
         "skew_top_keys",
         lambda s, d: top_keys_by_frequency(load_table(s, d, "events"), "user_id"),
         TOP_KEYS_ORACLE,
+    ),
+    # Salted fact⋈dim join vs the plain JOIN oracle: same
+    # result-transparency proof as the salted aggregation above.
+    QueryDef(
+        "skew_salted_join_totals",
+        lambda s, d: salted_join_totals(
+            load_table(s, d, "events"), load_table(s, d, "customer")
+        ),
+        SALTED_JOIN_ORACLE,
     ),
 ]
 

@@ -20,6 +20,8 @@ Behaviors covered:
   * streaming_checksum_xor         vs batch table_checksum fold
   * streaming_dedup_replay         vs batch dropDuplicates
   * streaming_topk_parquet_merge   vs batch window top-k
+  * streaming_stream_stream_join   vs the same interval join, batch plan
+  * streaming_dim_enrichment       vs the same broadcast join, batch plan
 
 Usage: python scripts/check_streaming_twins.py [sf_dir]
 Set STREAMING_TWINS_JSON=<path> to dump the machine-readable summary
@@ -266,6 +268,49 @@ def main() -> int:
             topk_from_store(spark, topk_store).toPandas(), batch_topk.toPandas()
         ),
         "twin": "batch:per-hour window top-k over the same table",
+    }
+
+    # 7. Stream-stream event-time join (click→purchase attribution)
+    #    vs the SAME join run as a batch plan (no state store, no
+    #    watermark eviction). Single availableNow micro-batch so the
+    #    watermark cannot evict join state mid-drain — with one batch
+    #    the inner interval join must emit exactly the batch match set.
+    from apd_map_reduce_spark.streaming.joins import click_purchase_attribution
+
+    drain_to_memory(
+        click_purchase_attribution(stream(max_files=None)),
+        "tw_ss_join",
+        "append",
+    )
+    results["streaming_stream_stream_join"] = {
+        **compare(
+            spark.table("tw_ss_join").toPandas(),
+            click_purchase_attribution(batch).toPandas(),
+        ),
+        "twin": "batch: same interval join, batch plan (no state store)",
+    }
+
+    # 8. Stream-static dim enrichment vs the same broadcast join as a
+    #    batch plan. Left join: every event must survive, matched or
+    #    not, and the attached attributes must be identical.
+    from apd_map_reduce_spark.streaming.enrich import enrich_events_with_users
+
+    customer_dim = load_table(spark, sf_dir, "customer")
+    drain_to_memory(
+        enrich_events_with_users(stream(), customer_dim).withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        ),
+        "tw_enrich",
+        "append",
+    )
+    results["streaming_dim_enrichment"] = {
+        **compare(
+            spark.table("tw_enrich").toPandas(),
+            enrich_events_with_users(batch, customer_dim)
+            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+            .toPandas(),
+        ),
+        "twin": "batch: same broadcast left join, batch plan",
     }
 
     shutil.rmtree(tmp, ignore_errors=True)

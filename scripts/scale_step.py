@@ -31,6 +31,8 @@ QUERIES = [
     "dedup_incremental_neardup",
     "corpus_clean_snapshot",
     "ann_cosine_topk",
+    "dedup_semantic_clusters",
+    "text_bm25_search",
     "text_boilerplate_spans",
     "corpus_inverted_index",
 ]

@@ -85,3 +85,52 @@ def test_audio_stats_matches_python_model(spark):
         zc = sum(1 for a, b in zip(v, v[1:]) if (a < 0) != (b < 0))
         want[doc_id] = (len(v), max(abs(x) for x in v), sum(x * x for x in v), zc)
     assert got == want
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Banding completeness: for hamming <= PHASH_MAX_HAMMING the
+    4-nibble pigeonhole guarantees candidate recall is EXACT, so the
+    banded pair set must equal the brute-force pair set computed from
+    the signatures in Python."""
+    from apd_map_reduce_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        multimodal_phash,
+        multimodal_phash_neardup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sigs = {r.doc_id: r.phash for r in multimodal_phash(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= PHASH_MAX_HAMMING
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal_phash_neardup(docs).collect()
+    }
+    assert set(got) == brute
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+
+def test_phash_signature_model(spark):
+    """Signature matches an independent Python model of the
+    blocked-mean construction on the raw UTF-8 bytes."""
+    from apd_map_reduce_spark.operators.multimodal import (
+        PHASH_BITS,
+        multimodal_phash,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {r.doc_id: r.phash for r in multimodal_phash(docs).collect()}
+    for doc_id, text in texts.items():
+        b = text.encode("utf-8")
+        step = max(max(len(b), 1) // PHASH_BITS, 1)
+        sums = [sum(b[i * step : (i + 1) * step]) for i in range(PHASH_BITS)]
+        total = sum(sums)
+        expect = sum(1 << i for i, s in enumerate(sums) if s * PHASH_BITS > total)
+        assert got[doc_id] == expect, doc_id

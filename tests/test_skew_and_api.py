@@ -49,6 +49,51 @@ def test_salted_agg_equals_direct(spark):
     assert direct["hot"][0] == 9000
 
 
+def test_salted_join_equals_direct(spark):
+    """Salted fact⋈dim join is row-identical to the plain join on a
+    deliberately skewed fact (90% of rows hit one dim key), and with
+    broadcast disabled it plans a shuffle join on the composite
+    (key, salt) — the hot key's rows spread over n_salts reducers."""
+    from apd_map_reduce_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("dk"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    direct = (
+        fact.join(dim, fact["k"] == dim["dk"])
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    salted = (
+        salted_join(fact, dim, "k", "dk", salt_source="row_id", n_salts=8)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    d = {r.label: (r.n, r.total) for r in direct.collect()}
+    s = {r.label: (r.n, r.total) for r in salted.collect()}
+    assert s == d
+    # 9000 hot rows + the cold rows whose id % 7 == 1
+    assert d["d1"][0] >= 9000
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            salted_join(fact, dim, "k", "dk", salt_source="row_id", n_salts=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_top_keys_by_frequency(spark):
     events = load_table(spark, SF_SMOKE, "events")
     head = top_keys_by_frequency(events, "event_type", k=3).collect()
