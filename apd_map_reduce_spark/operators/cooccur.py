@@ -368,7 +368,10 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = B
     postings for the |Q| query terms survive to the shuffle — tf is
     O(docs-containing-a-query-term), df and the (N, total_tokens)
     scalars are broadcast, and the final top-k is one window pass over
-    the scored docs. The corpus is scanned exactly once."""
+    the scored docs. The corpus is tokenized TWICE (once for the
+    (N, total_tokens) scalars, once for the postings path) — in a
+    standing deployment those corpus statistics live in the index
+    metadata and only the postings pass remains."""
     base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -316,7 +316,12 @@ def lateness_audit(events: DataFrame) -> DataFrame:
             .cast("long")
             .alias("late_us")
         ),
-    ).withColumn("late_s", (F.col("late_us") / F.lit(1000000)).cast("long"))
+    ).withColumn(
+        # integer `div`, never double-divide-then-cast: the oracle
+        # floor-divides in exact integers (DETERMINISM.md rule 9).
+        "late_s",
+        F.expr("late_us div 1000000"),
+    )
     return late.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias("n_late"),

@@ -313,9 +313,17 @@ def _phash_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "phash": []}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            n = max(len(b), 1)
-            step = max(n // PHASH_BITS, 1)
-            sums = [sum(b[i * step : (i + 1) * step]) for i in range(PHASH_BITS)]
+            n = len(b)
+            # BALANCED chunk boundaries [i*n/16, (i+1)*n/16): every
+            # byte lands in exactly one chunk (a fixed floor step
+            # drops up to step-1 tail bytes — tail-only-different
+            # payloads would alias to hamming 0 — and a ceil step
+            # leaves trailing empty chunks on short payloads, which
+            # collapses their hashes).
+            sums = [
+                sum(b[i * n // PHASH_BITS : (i + 1) * n // PHASH_BITS])
+                for i in range(PHASH_BITS)
+            ]
             total = sum(sums)
             h = 0
             for i, s in enumerate(sums):
@@ -351,8 +359,14 @@ def multimodal_phash_neardup(
     Scale: production uses a 64-bit DCT pHash with the identical
     band-join shape (e.g. 8 bytes → hamming <= 7 guaranteed); a hot
     band bucket (near-constant images) is pre-grouped by exact hash
-    first, like minhash_lsh_pairs' exact-dup pre-group."""
-    ph = multimodal_phash(docs)
+    first, like minhash_lsh_pairs' exact-dup pre-group.
+
+    The signature relation is cached: both self-join sides derive from
+    the mapInPandas stage, and without the cache Spark plans that
+    Python/Arrow stage once PER SIDE — hashing every payload twice.
+    The cached relation is 2 narrow columns (same rule as dedup.py's
+    shingle cache; bench clears caches between passes)."""
+    ph = multimodal_phash(docs).cache()
     bands = ph.select(
         "doc_id",
         "phash",
@@ -382,14 +396,14 @@ def multimodal_phash_neardup(
 PHASH_ORACLE = f"""
 WITH base AS (
   SELECT doc_id,
-         greatest(greatest(octet_length(encode(text)), 1) // {PHASH_BITS}, 1) AS step,
+         octet_length(encode(text)) AS n,
          list_transform(string_split(text, ''), c -> ascii(c)) AS codes
   FROM documents WHERE {ASCII_PRED}
 ),
 sums AS (
   SELECT doc_id,
          list_transform(range({PHASH_BITS}),
-           i -> coalesce(list_sum(list_slice(codes, i * step + 1, (i + 1) * step)), 0)::BIGINT) AS cs
+           i -> coalesce(list_sum(list_slice(codes, (i * n) // {PHASH_BITS} + 1, ((i + 1) * n) // {PHASH_BITS})), 0)::BIGINT) AS cs
   FROM base
 ),
 ph AS (

@@ -174,9 +174,17 @@ def salted_join(
     salt only the hot keys (split-and-union) when the dim is large."""
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     dim_rep = dim.withColumn("__dsalt", F.explode(salts))
+    # coalesce before crc32: crc32(NULL) is NULL and a NULL salt would
+    # make the join predicate NULL — silently DROPPING fact rows whose
+    # join key matches, which breaks the row-identity contract. NULL
+    # salt sources all land in one bucket (hash of ""), which only
+    # costs balance, never rows.
     fact_s = fact.withColumn(
         "__salt",
-        F.pmod(F.crc32(F.col(salt_source).cast("string")), F.lit(n_salts)).cast("int"),
+        F.pmod(
+            F.crc32(F.coalesce(F.col(salt_source).cast("string"), F.lit(""))),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     return (
         fact_s.join(

@@ -129,8 +129,11 @@ def test_phash_signature_model(spark):
     got = {r.doc_id: r.phash for r in multimodal_phash(docs).collect()}
     for doc_id, text in texts.items():
         b = text.encode("utf-8")
-        step = max(max(len(b), 1) // PHASH_BITS, 1)
-        sums = [sum(b[i * step : (i + 1) * step]) for i in range(PHASH_BITS)]
+        n = len(b)
+        sums = [
+            sum(b[i * n // PHASH_BITS : (i + 1) * n // PHASH_BITS])
+            for i in range(PHASH_BITS)
+        ]
         total = sum(sums)
         expect = sum(1 << i for i, s in enumerate(sums) if s * PHASH_BITS > total)
         assert got[doc_id] == expect, doc_id

@@ -94,6 +94,19 @@ def test_salted_join_equals_direct(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_salted_join_keeps_null_salt_rows(spark):
+    """A NULL salt_source must not drop the row: crc32(NULL) is NULL
+    and an un-coalesced salt would null out the join predicate."""
+    from apd_map_reduce_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, None), (1, "a"), (2, "b")], "k INT, src STRING"
+    )
+    dim = spark.createDataFrame([(1, "d1"), (2, "d2")], "dk INT, label STRING")
+    out = salted_join(fact, dim, "k", "dk", salt_source="src").collect()
+    assert len(out) == 3  # the NULL-src row survives
+
+
 def test_top_keys_by_frequency(spark):
     events = load_table(spark, SF_SMOKE, "events")
     head = top_keys_by_frequency(events, "event_type", k=3).collect()
