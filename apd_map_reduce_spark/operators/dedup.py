@@ -182,6 +182,35 @@ def stop_shingle_filter(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFram
     return sh.join(F.broadcast(frequent), "sh", "left_anti")
 
 
+def _shingle_pair_overlap(docs: DataFrame, max_df: int) -> DataFrame:
+    """Shared candidate machinery for the exact shingle-set measures
+    (Jaccard and containment): (doc_a, doc_b, n_common, n_a, n_b) for
+    every doc pair sharing at least one filtered shingle.
+
+    Two cache points, both load-bearing (measured at sf0.1, noop
+    protocol): the RAW shingle relation is cached so the stop-shingle
+    df aggregation doesn't force a second shingling pass (shingling is
+    the CPU-bound stage), and the FILTERED relation is cached so the
+    broadcast anti-join runs once instead of once per consumer (three
+    consumers: per-doc counts + both self-join sides — re-evaluating it
+    cost ~1 s of ngram_jaccard's ~3.4 s). Both caches are
+    MEMORY_AND_DISK, so at cluster scale they spill rather than OOM;
+    the filtered cache is strictly smaller than the raw one."""
+    raw = doc_shingle_hashes(docs).cache()
+    sh = stop_shingle_filter(raw, max_df=max_df).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return common.join(ca, "doc_a").join(cb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -197,32 +226,10 @@ def ngram_jaccard_pairs(
     max_df-filtered shingle universe — NOT over all shingles. A pair
     whose similarity rests solely on shingles shared by more than
     `max_df` documents (boilerplate) does not appear. The oracle mirrors
-    the filter, so parity holds at any scale.
-
-    Two cache points, both load-bearing (measured at sf0.1, noop
-    protocol): the RAW shingle relation is cached so the stop-shingle
-    df aggregation doesn't force a second shingling pass (shingling is
-    the CPU-bound stage), and the FILTERED relation is cached so the
-    broadcast anti-join runs once instead of once per consumer (three
-    consumers: per-doc counts + both self-join sides — re-evaluating it
-    cost ~1 s of the query's ~3.4 s). Both caches are MEMORY_AND_DISK,
-    so at cluster scale they spill rather than OOM; the filtered cache
-    is strictly smaller than the raw one."""
-    raw = doc_shingle_hashes(docs).cache()
-    sh = stop_shingle_filter(raw, max_df=max_df).cache()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    the filter, so parity holds at any scale. Cache rationale:
+    `_shingle_pair_overlap`."""
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        _shingle_pair_overlap(docs, max_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -234,6 +241,77 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+CONTAINMENT_MIN_SHINGLES = 8
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    min_shingles: int = CONTAINMENT_MIN_SHINGLES,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ASYMMETRIC containment over the shingle sets: C(A→B) =
+    |A∩B| / |A|. Catches sub-document duplication — a short doc quoted
+    wholesale inside a long one scores containment ≈ 1 while its
+    Jaccard is only ≈ |A|/|B| and sails under every symmetric
+    threshold. This is the standard complement to Jaccard dedup for
+    quote/excerpt/subset detection (tests construct exactly that case;
+    the synthetic corpus itself only contains full duplicates, where
+    containment and Jaccard coincide).
+
+    Emits one row per unordered pair with BOTH directions
+    (cont_a_in_b, cont_b_in_a), filtered to pairs where either
+    direction clears `threshold` and both sides have at least
+    `min_shingles` filtered shingles (a 1-shingle doc is trivially
+    contained in anything sharing it).
+
+    Scale: identical machinery to ngram_jaccard_pairs
+    (`_shingle_pair_overlap` — same cached shingle relation, same
+    stop-shingle guard bounding per-key fan-out, same keyed
+    self-join); only the final measure differs. Filtered-universe
+    semantics carry over unchanged."""
+    cont_a = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("n_common").cast("double") / F.col("n_b"), 6)
+    return (
+        _shingle_pair_overlap(docs, max_df)
+        .filter(F.least(F.col("n_a"), F.col("n_b")) >= min_shingles)
+        .withColumn("cont_a_in_b", cont_a)
+        .withColumn("cont_b_in_a", cont_b)
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold)
+        .select("doc_a", "doc_b", "n_common", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+shf AS (
+  SELECT doc_id, sh FROM shh
+  WHERE sh NOT IN (
+    SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
+  )
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, n_common,
+         ROUND(CAST(n_common AS DOUBLE) / ca.n, 6) AS cont_a_in_b,
+         ROUND(CAST(n_common AS DOUBLE) / cb.n, 6) AS cont_b_in_a
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE least(ca.n, cb.n) >= {CONTAINMENT_MIN_SHINGLES}
+)
+SELECT doc_a, doc_b, n_common, cont_a_in_b, cont_b_in_a
+FROM scored
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -1035,6 +1113,11 @@ DEDUP_QUERIES = [
         lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
         NGRAM_JACCARD_ORACLE,
         headline=True,
+    ),
+    QueryDef(
+        "dedup_containment",
+        lambda s, d: containment_pairs(_docs(s, d)),
+        CONTAINMENT_ORACLE,
     ),
     QueryDef(
         "dedup_minhash_lsh",

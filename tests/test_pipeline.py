@@ -166,3 +166,45 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == stats["published"]
     assert {"doc_id", "text", "shard"} <= set(back.columns)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one: the
+    asymmetric containment must flag it near 1.0 while symmetric
+    Jaccard stays far below the dedup threshold — the exact case
+    dedup_containment exists for."""
+    from apd_map_reduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # letter suffixes: the P1 normalizer strips digits, so numeric
+    # suffixes would collapse every token to the same word
+    def w(stem, i):
+        return stem + "".join(chr(ord("a") + int(c)) for c in str(i))
+
+    quote = " ".join(f"{w('alpha', i)} {w('beta', i)} {w('gamma', i)}" for i in range(8))
+    long_doc = (
+        " ".join(f"{w('filler', i)} {w('noise', i)} {w('pad', i)}" for i in range(60))
+        + " " + quote + " "
+        + " ".join(f"{w('tail', i)} {w('coda', i)}" for i in range(60))
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, quote, "en", "srcA", len(quote)),
+            (2, long_doc, "en", "srcA", len(long_doc)),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    cont = containment_pairs(docs).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    assert row.cont_a_in_b >= 0.99, "quote fully contained in the long doc"
+    assert row.cont_b_in_a < 0.3, "long doc is NOT contained in the quote"
+    jac = ngram_jaccard_pairs(docs).collect()
+    assert not jac, (
+        f"symmetric Jaccard at {JACCARD_THRESHOLD} must miss the "
+        "small-in-large case containment is for"
+    )
