@@ -171,7 +171,7 @@ def stop_shingle_filter(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFram
 
     NOTE: `sh` is scanned twice (df aggregation + anti-join input).
     Cache it first when it is expensive to recompute — shingling is the
-    CPU-bound stage (`ngram_jaccard_pairs` does exactly this).
+    CPU-bound stage (`_shingle_pair_overlap` does exactly this).
     """
     frequent = (
         sh.groupBy("sh")
@@ -285,9 +285,10 @@ def containment_pairs(
     )
 
 
-CONTAINMENT_ORACLE = f"""
-WITH {_SHINGLES_CTE},
-shf AS (
+# SQL twin of _shingle_pair_overlap, shared by the Jaccard and
+# containment oracles (change the stop-shingle / candidate SQL here and
+# both oracles move together, like the Spark side).
+_PAIR_OVERLAP_CTES = f"""shf AS (
   SELECT doc_id, sh FROM shh
   WHERE sh NOT IN (
     SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
@@ -298,7 +299,12 @@ pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+
+CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_PAIR_OVERLAP_CTES},
 scored AS (
   SELECT doc_a, doc_b, n_common,
          ROUND(CAST(n_common AS DOUBLE) / ca.n, 6) AS cont_a_in_b,
@@ -316,18 +322,7 @@ WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAINMENT_THRESHOLD}
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-shf AS (
-  SELECT doc_id, sh FROM shh
-  WHERE sh NOT IN (
-    SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
-  )
-),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+{_PAIR_OVERLAP_CTES}
 SELECT doc_a, doc_b, n_common,
        ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
 FROM pairs
