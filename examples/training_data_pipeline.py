@@ -9,7 +9,8 @@ quality-filtered JSONL shard set, using only library operators:
     3. clean         remove_boilerplate        (strip repeated spans)
     4. dedup         dup_groups + canonical_selection  (keep best copy)
     5. filter        quality_score thresholds
-    6. deliver       write_jsonl_shards        (training loader format)
+    6. stratify      text_perplexity_buckets   (drop the CCNet "tail")
+    7. deliver       write_jsonl_shards        (training loader format)
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
 
@@ -81,7 +82,19 @@ def build_clean_shards(
         .select("doc_id", F.col("clean_text").alias("text"))
     )
 
-    # 6. Deliver as deterministic JSONL shards.
+    # 6. CCNet-style quality stratification: score on the RAW text
+    # (the LM-proxy statistic is defined pre-cleaning) and keep only
+    # the head/middle buckets per language.
+    from apd_map_reduce_spark.operators.textstats import perplexity_buckets
+
+    keep_ppl = (
+        perplexity_buckets(docs)
+        .filter(F.col("bucket_label") != "tail")
+        .select("doc_id")
+    )
+    final = final.join(keep_ppl, "doc_id", "left_semi")
+
+    # 7. Deliver as deterministic JSONL shards.
     write_jsonl_shards(final, out_dir, n_shards=n_shards)
     n_out = spark.read.json(out_dir).count()
     return {
