@@ -42,6 +42,14 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(*path) if isinstance(path, list) else spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC source (built into Spark, no extra package): same columnar
+    posture as parquet — predicate pushdown, column pruning, and
+    min/max stripe skipping all apply; tests assert PushedFilters
+    reaches the ORC scan exactly as it does the parquet scan."""
+    return spark.read.orc(*path) if isinstance(path, list) else spark.read.orc(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Multimodal raw-bytes source: one row per file with (path,
     modificationTime, length, content BINARY) — the 100 TB posture for

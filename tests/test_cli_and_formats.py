@@ -139,3 +139,40 @@ def test_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
     m1, m2 = shard_map(out1), shard_map(out2)
     assert m1 == m2
     assert len(m1) == 8
+
+
+def test_orc_roundtrip_matches_parquet_with_pushdown(spark, tmp_path):
+    """ORC round-trip: identical values to the parquet path, and the
+    selective filter is pushed into the ORC scan (PushedFilters), same
+    as the parquet posture."""
+    from apd_map_reduce_spark.sources.files import read_orc
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = str(tmp_path / "events_orc")
+    events.write.mode("overwrite").orc(d)
+    back = read_orc(spark, d)
+    assert back.count() == events.count()
+    from_orc = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in back.filter(back.event_type == "purchase").collect()
+    }
+    from_parquet = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in events.filter(events.event_type == "purchase").collect()
+    }
+    assert from_orc == from_parquet
+    plan = (
+        back.filter(back.event_type == "purchase")
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters:")[1][:120]
+    # column pruning: only the two needed columns reach the scan
+    assert "ReadSchema" in plan
