@@ -169,3 +169,35 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the data is intact for that day
     want = events.filter(F.col("event_date") == F.lit(one_day)).count()
     assert back.count() == want
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: when the pruning predicate only
+    exists on the DIM side of a join, Spark must push a runtime
+    dynamicpruning subquery into the partitioned fact scan — at 100 TB
+    this is the difference between scanning one partition and all of
+    them, with no static filter available to the planner."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.sinks import write_parquet
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 0), ("view", 0), ("error", 0), ("signup", 0)],
+        "t STRING, wanted INT",
+    )
+    joined = fact.join(dim.filter(F.col("wanted") == 1), fact.event_type == dim.t)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "dim-side filter must become a runtime partition-pruning "
+        "subquery on the fact scan:\n" + plan[:1200]
+    )
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == want
