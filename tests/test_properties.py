@@ -295,3 +295,35 @@ def test_lsh_collision_probability_curve():
     # monotone in s; more bands raise recall at fixed r
     assert p(0.6) > p(0.5) > p(0.4)
     assert p(0.5, bands=8) > p(0.5, bands=4)
+
+
+def test_new_ops_partition_sweep(spark):
+    """Partition-count invariance for this round's additions: SemDeDup
+    pruning, containment pairs, BM25 ranking, and pHash near-dups must
+    not depend on shuffle parallelism (the (M,R) matrix analogue)."""
+    from apd_map_reduce_spark.operators.cooccur import bm25_search
+    from apd_map_reduce_spark.operators.dedup import containment_pairs
+    from apd_map_reduce_spark.operators.multimodal import multimodal_phash_neardup
+    from apd_map_reduce_spark.operators.similarity import semdedup_prune
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+    base = None
+    for n in ("1", "5", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            got = (
+                sorted(tuple(r) for r in semdedup_prune(emb).collect()),
+                sorted(tuple(r) for r in containment_pairs(docs).collect()),
+                sorted(tuple(r) for r in bm25_search(docs).collect()),
+                sorted(tuple(r) for r in multimodal_phash_neardup(docs).collect()),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+        if base is None:
+            base = got
+            assert all(len(g) > 0 for g in got), "fixture must be non-trivial"
+        assert got == base, f"diverged at shuffle.partitions={n}"
