@@ -9,7 +9,7 @@ quality-filtered JSONL shard set, using only library operators:
     3. clean         remove_boilerplate        (strip repeated spans)
     4. dedup         dup_groups + canonical_selection  (keep best copy)
     5. filter        quality_score thresholds
-    6. stratify      text_perplexity_buckets   (drop the CCNet "tail")
+    6. stratify      perplexity_buckets        (drop the CCNet "tail")
     7. deliver       write_jsonl_shards        (training loader format)
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]

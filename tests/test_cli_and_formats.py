@@ -173,6 +173,13 @@ def test_orc_roundtrip_matches_parquet_with_pushdown(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters:")[1][:120]
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "event_type" in pushed and "purchase" in pushed, (
+        "the equality filter must be INSIDE the pushed list (an empty "
+        "PushedFilters: [] with event_type only in ReadSchema is a "
+        "pushdown regression):\n" + plan[:800]
+    )
     # column pruning: only the two needed columns reach the scan
-    assert "ReadSchema" in plan
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in schema and "event_type" in schema
+    assert "value" not in schema and "user_id" not in schema, schema
