@@ -22,6 +22,8 @@ Behaviors covered:
   * streaming_topk_parquet_merge   vs batch window top-k
   * streaming_stream_stream_join   vs the same interval join, batch plan
   * streaming_dim_enrichment       vs the same broadcast join, batch plan
+  * streaming_inverted_index       vs the reference-flagship batch index
+                                   (cross-micro-batch collect_set state)
 
 Usage: python scripts/check_streaming_twins.py [sf_dir]
 Set STREAMING_TWINS_JSON=<path> to dump the machine-readable summary
@@ -311,6 +313,67 @@ def main() -> int:
             .toPandas(),
         ),
         "twin": "batch: same broadcast left join, batch plan",
+    }
+
+    # 9. The reference flagship, streaming: text files arrive 7 per
+    #    micro-batch, the index is a streaming collect_set aggregation
+    #    whose partial sets MERGE across batches in the state store —
+    #    the drained complete-mode index must equal the batch
+    #    inverted_index over the identical corpus+manifest. file_ids
+    #    are joined to a string because raw array columns are not
+    #    canonicalizable by the generic comparator.
+    from apd_map_reduce_spark.operators.invindex import inverted_index
+    from apd_map_reduce_spark.sources.manifest import read_corpus, read_manifest
+    from apd_map_reduce_spark.streaming.invindex import (
+        incremental_inverted_index,
+        stream_corpus,
+    )
+
+    corpus_dir = os.path.join(tmp, "corpus_txt")
+    os.makedirs(corpus_dir)
+    doc_rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    paths = []
+    for r in doc_rows:
+        p = os.path.join(corpus_dir, f"doc{r.doc_id:04d}.txt")
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write(r.text + "\n")
+        paths.append(p)
+    manifest_path = os.path.join(tmp, "manifest.txt")
+    with open(manifest_path, "w", encoding="utf-8") as fh:
+        fh.write(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+
+    def ids_csv(df):
+        return df.select(
+            "word",
+            F.array_join(
+                F.transform("file_ids", lambda x: x.cast("string")), " "
+            ).alias("file_ids"),
+            "df",
+        )
+
+    drain_to_memory(
+        ids_csv(
+            incremental_inverted_index(
+                stream_corpus(
+                    spark, corpus_dir, manifest_path, max_files_per_trigger=7
+                )
+            )
+        ),
+        "tw_invindex",
+        "complete",
+    )
+    batch_idx = inverted_index(read_corpus(spark, read_manifest(spark, manifest_path)))
+    results["streaming_inverted_index"] = {
+        **compare(
+            spark.table("tw_invindex").toPandas(), ids_csv(batch_idx).toPandas()
+        ),
+        "twin": "batch: reference-flagship inverted_index over the same corpus",
     }
 
     shutil.rmtree(tmp, ignore_errors=True)
