@@ -118,7 +118,10 @@ def kmeans_assign(
     assigned = assign_literal_centroids(emb, cents, emb_col)
     for _ in range(iters - 1):
         stats = cluster_stats(assigned, emb_col).collect()
-        cents = _next_centroids(stats)
+        # no points → no stats rows → keep the previous centroids
+        # (an empty centroid list would build an untyped empty array
+        # expression and fail analysis on the next assignment)
+        cents = _next_centroids(stats) or cents
         assigned = assign_literal_centroids(emb, cents, emb_col)
     return assigned.select("vec_id", "cluster_id", "dist6")
 

@@ -328,6 +328,13 @@ def pagerank_topk(
     out = directed.join(deg, "src").cache()
     nodes = deg.select(F.col("src").alias("node")).cache()
     n = nodes.count()
+    if n == 0:
+        # empty graph: zero nodes would divide the teleport constant
+        # by zero; the correct fixpoint is the empty ranking
+        return nodes.select(
+            F.col("node").alias("part_node"),
+            F.lit(0).cast("long").alias("rank_scaled"),
+        )
     teleport = (15 * PR_SCALE // 100) // n
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n).cast("long").alias("rank")
