@@ -32,6 +32,8 @@ QUERIES = [
     "corpus_clean_snapshot",
     "ann_cosine_topk",
     "dedup_semantic_clusters",
+    "dedup_containment",
+    "multimodal_phash_neardup",
     "text_bm25_search",
     "text_boilerplate_spans",
     "corpus_inverted_index",
