@@ -297,8 +297,10 @@ FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
 """
 
 
-PHASH_BITS = 16
+PHASH_BITS = 60
 PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 15-bit bands
+PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
 PHASH_MAX_HAMMING = 3
 PHASH_SCHEMA = "doc_id LONG, phash LONG"
 
@@ -351,15 +353,19 @@ def multimodal_phash_neardup(
     visual sibling of simhash_near_dups.
 
     Candidate generation is banded (same pigeonhole as SimHash): the
-    16-bit hash splits into 4 nibbles; hamming(a,b) <= 3 forces at
-    least one intact nibble, so candidates come from 4 per-band
+    60-bit hash splits into 4 15-bit bands; hamming(a,b) <= 3 forces
+    at least one intact band, so candidates come from 4 per-band
     equi-joins — never an all-pairs product. Candidates are verified
-    with the exact popcount of the XOR.
+    with the exact popcount of the XOR. (An earlier 16-bit width
+    collapsed at scale: 5000 docs produced 307k candidate pairs
+    because 4-bit bands only have 16 buckets; 15-bit bands give 32k
+    buckets per band, the same discrimination story as the 60-bit
+    SimHash.)
 
     Scale: production uses a 64-bit DCT pHash with the identical
-    band-join shape (e.g. 8 bytes → hamming <= 7 guaranteed); a hot
-    band bucket (near-constant images) is pre-grouped by exact hash
-    first, like minhash_lsh_pairs' exact-dup pre-group.
+    band-join shape; a hot band bucket (near-constant images) is
+    pre-grouped by exact hash first, like minhash_lsh_pairs'
+    exact-dup pre-group.
 
     The signature relation is cached: both self-join sides derive from
     the mapInPandas stage, and without the cache Spark plans that
@@ -371,15 +377,18 @@ def multimodal_phash_neardup(
         "doc_id",
         "phash",
         F.explode(F.array(*[F.lit(i) for i in range(PHASH_BANDS)])).alias("band"),
-    ).withColumn("nibble", F.expr("shiftright(phash, band * 4) & 15"))
+    ).withColumn(
+        "band_val",
+        F.expr("shiftright(phash, band * 15) & 32767"),
+    )
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "nibble"
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "band_val"
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "nibble"
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "band_val"
     )
     cand = (
-        a.join(b, ["band", "nibble"])
+        a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ph_a", "ph_b")
         .distinct()
@@ -417,11 +426,11 @@ bands0 AS (
   SELECT doc_id, phash, unnest(generate_series(0, {PHASH_BANDS - 1})) AS band FROM ph
 ),
 bands AS (
-  SELECT doc_id, phash, band, (phash >> (band * 4)) & 15 AS nibble FROM bands0
+  SELECT doc_id, phash, band, (phash >> (band * 15)) & 32767 AS band_val FROM bands0
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS ph_a, b.phash AS ph_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.nibble = b.nibble
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
                            AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming

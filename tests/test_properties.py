@@ -311,8 +311,8 @@ def test_new_ops_partition_sweep(spark):
 
     # deterministic subset — a bare .limit() can return different rows
     # per execution, which would read as a spurious invariance failure
-    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 120")
-    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 120")
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 200")
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 200")
     base = None
     for n in ("1", "5", "32"):
         spark.conf.set("spark.sql.shuffle.partitions", n)
