@@ -325,16 +325,18 @@ def pagerank_topk(
         .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out = directed.join(deg, "src").cache()
     nodes = deg.select(F.col("src").alias("node")).cache()
     n = nodes.count()
     if n == 0:
         # empty graph: zero nodes would divide the teleport constant
-        # by zero; the correct fixpoint is the empty ranking
+        # by zero; the correct fixpoint is the empty ranking (guard
+        # sits BEFORE the out-degree cache so the empty path never
+        # registers an unused persisted relation)
         return nodes.select(
             F.col("node").alias("part_node"),
             F.lit(0).cast("long").alias("rank_scaled"),
         )
+    out = directed.join(deg, "src").cache()
     teleport = (15 * PR_SCALE // 100) // n
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n).cast("long").alias("rank")

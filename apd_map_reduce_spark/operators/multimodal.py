@@ -316,12 +316,15 @@ def _phash_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {"doc_id": [], "phash": []}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             n = len(b)
-            # BALANCED chunk boundaries [i*n/16, (i+1)*n/16): every
-            # byte lands in exactly one chunk (a fixed floor step
-            # drops up to step-1 tail bytes — tail-only-different
-            # payloads would alias to hamming 0 — and a ceil step
-            # leaves trailing empty chunks on short payloads, which
-            # collapses their hashes).
+            # BALANCED chunk boundaries [i*n/B, (i+1)*n/B): every byte
+            # lands in exactly one chunk and, for n >= PHASH_BITS, no
+            # chunk is empty (a fixed floor step drops up to step-1
+            # tail bytes — tail-only-different payloads would alias to
+            # hamming 0 — and a ceil step leaves trailing empty chunks
+            # even on payloads much longer than PHASH_BITS). Payloads
+            # SHORTER than PHASH_BITS bytes necessarily have empty
+            # chunks and partially collapse — acceptable: sub-60-byte
+            # "images" carry no signal worth discriminating.
             sums = [
                 sum(b[i * n // PHASH_BITS : (i + 1) * n // PHASH_BITS])
                 for i in range(PHASH_BITS)
@@ -379,7 +382,9 @@ def multimodal_phash_neardup(
         F.explode(F.array(*[F.lit(i) for i in range(PHASH_BANDS)])).alias("band"),
     ).withColumn(
         "band_val",
-        F.expr("shiftright(phash, band * 15) & 32767"),
+        F.expr(
+            f"shiftright(phash, band * {PHASH_BAND_BITS}) & {PHASH_BAND_MASK}"
+        ),
     )
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "band_val"
@@ -426,7 +431,7 @@ bands0 AS (
   SELECT doc_id, phash, unnest(generate_series(0, {PHASH_BANDS - 1})) AS band FROM ph
 ),
 bands AS (
-  SELECT doc_id, phash, band, (phash >> (band * 15)) & 32767 AS band_val FROM bands0
+  SELECT doc_id, phash, band, (phash >> (band * {PHASH_BAND_BITS})) & {PHASH_BAND_MASK} AS band_val FROM bands0
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS ph_a, b.phash AS ph_b

@@ -46,8 +46,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from apd_map_reduce_spark.operators.invindex import inverted_index  # noqa: E402
 from apd_map_reduce_spark.session import get_spark  # noqa: E402
+from apd_map_reduce_spark.sources.manifest import read_corpus, read_manifest  # noqa: E402
 from apd_map_reduce_spark.sources.tables import load_table  # noqa: E402
+from apd_map_reduce_spark.streaming.invindex import (  # noqa: E402
+    incremental_inverted_index,
+    stream_corpus,
+)
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
@@ -322,13 +328,6 @@ def main() -> int:
     #    inverted_index over the identical corpus+manifest. file_ids
     #    are joined to a string because raw array columns are not
     #    canonicalizable by the generic comparator.
-    from apd_map_reduce_spark.operators.invindex import inverted_index
-    from apd_map_reduce_spark.sources.manifest import read_corpus, read_manifest
-    from apd_map_reduce_spark.streaming.invindex import (
-        incremental_inverted_index,
-        stream_corpus,
-    )
-
     corpus_dir = os.path.join(tmp, "corpus_txt")
     os.makedirs(corpus_dir)
     doc_rows = (
