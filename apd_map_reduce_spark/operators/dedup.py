@@ -12,12 +12,14 @@ Scale design (the part that matters at 100 TB):
   * n-gram Jaccard — all-pairs via shingle-inverted-index join. O(n²)
     worst case by shared shingle; the MinHash path below is the scale
     path, this is the exact verifier.
-  * MinHash+LSH — k=16 signature via ONE pass (16 min-aggregates over
-    the exploded shingles — no shingle×seed row blowup), banded b=4/r=4,
-    candidates from per-band equality joins (shuffle keyed by band
-    hash), verified with exact Jaccard. This is the V-SMART-Join shape
-    from PAPERS.md: candidate generation never materializes the n²
-    cross product.
+  * MinHash+LSH — k=72 signature via ONE pass (72 min-aggregates over
+    the exploded shingles — no shingle×seed row blowup), banded
+    b=24/r=3 (collision probability ≥0.96 at the family's default
+    threshold 0.5 — the production recall contract; (k, b, r) are
+    parameters), candidates from per-band equality joins (shuffle
+    keyed by band hash), verified with exact Jaccard. This is the
+    V-SMART-Join shape from PAPERS.md: candidate generation never
+    materializes the n² cross product.
   * SimHash — 60-bit signature via 60 conditional-sum aggregates (no
     per-bit row explosion); near-dup pairs via 4-chunk banding, which is
     EXACT for hamming ≤ 3 by pigeonhole (4 chunks, ≤3 differing bits →
@@ -41,8 +43,30 @@ from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
-N_MINHASH = 16
-LSH_BANDS = 4  # 4 bands x 4 rows
+# LSH family sizing (parameterizable — every signature/band/oracle
+# builder takes (bands, rows) and derives n_perm = bands*rows). The
+# DEFAULTS are a production-shape configuration: the banded S-curve
+# 1-(1-s^r)^b must give recall ≥ 0.9 AT THE OPERATOR'S OWN THRESHOLD,
+# or the operator silently under-reports near-dups at exactly the
+# similarity it claims to find. With b=24, r=3 (k=72):
+#   P(collide | s=0.5) = 1-(1-0.125)^24 ≈ 0.960   (NEARDUP_THRESHOLD)
+#   P(collide | s=0.7) ≈ 0.9999,  P(s=0.3) ≈ 0.48,  P(s=0.1) ≈ 0.024
+# r=3 keeps candidate precision (a band collision needs 3 consecutive
+# minhash agreements, so low-similarity pairs rarely surface), b=24
+# buys the recall; the old k=16/b=4/r=4 had P(0.5)≈0.23 — fine as a
+# demo, not a config you'd ship at 100 TB.
+# test_properties.py asserts the ≥0.9 contract against these constants.
+LSH_BANDS = 24
+LSH_ROWS = 3
+N_MINHASH = LSH_BANDS * LSH_ROWS  # 72
+# Default threshold for the NEAR-DUP family (minhash_lsh_pairs,
+# dedup_incremental_neardup, the streaming ingest screen, dup_groups /
+# clean_corpus): "near duplicate" = Jaccard ≥ 0.5, the same bar the
+# capstone pipeline uses, and the point the default (b, r) is sized for.
+NEARDUP_THRESHOLD = 0.5
+# Default threshold for the EXACT pair enumerators (ngram_jaccard_pairs):
+# no recall concern there — the inverted-index self-join sees every
+# sharing pair — so a lower reporting bar is safe and more informative.
 JACCARD_THRESHOLD = 0.2
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
@@ -343,48 +367,62 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_
 # odd multipliers from a Knuth-style LCG so both engines embed the same
 # literals.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
-_MH_PARAMS = [
-    (((2654435761 * (i + 1)) % 2147483648) | 1, (40503 * (i + 7919)) % 2147483648)
-    for i in range(N_MINHASH)
-]
 
 
-def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
-    """k=16 MinHash signature in ONE aggregation pass over the hashed
-    shingle relation (universal-hash re-map of the 60-bit shingle hash —
-    a uniform family, and the whole pipeline shares one scan)."""
+def _mh_params(n_perm: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) constants for any signature width — same fixed
+    Knuth-multiplier family at every width, so the first 16 entries are
+    bit-identical to the historical k=16 family."""
+    return [
+        (((2654435761 * (i + 1)) % 2147483648) | 1, (40503 * (i + 7919)) % 2147483648)
+        for i in range(n_perm)
+    ]
+
+
+_MH_PARAMS = _mh_params(N_MINHASH)
+
+
+def minhash_signatures(
+    docs: DataFrame, sh: DataFrame | None = None, n_perm: int = N_MINHASH
+) -> DataFrame:
+    """k=`n_perm` MinHash signature in ONE aggregation pass over the
+    hashed shingle relation (universal-hash re-map of the 60-bit shingle
+    hash — a uniform family, and the whole pipeline shares one scan)."""
     sh = sh if sh is not None else doc_shingle_hashes(docs)
     x31 = F.col("sh") % F.lit(2147483648)
     aggs = [
         F.min((F.lit(a) * x31 + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{seed}")
-        for seed, (a, b) in enumerate(_MH_PARAMS)
+        for seed, (a, b) in enumerate(_mh_params(n_perm))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_collision_probability(
-    jaccard: float, bands: int = LSH_BANDS, rows: int = N_MINHASH // LSH_BANDS
+    jaccard: float, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> float:
     """The banded-LSH S-curve: probability that a pair with true
     Jaccard similarity `jaccard` collides in at least one band —
     1 - (1 - s^r)^b. This IS the recall contract of every LSH-based
     operator here (minhash_lsh_pairs, dedup_incremental_neardup, the
     streaming ingest screen): a qualifying pair is REPORTED only if it
-    band-collides, and with the default b=4, r=4 the curve gives
-    ~0.99 at s=0.9, ~0.84 at s=0.7, ~0.23 at s=0.5, ~0.03 at s=0.3 —
-    use it to size (bands, rows) for a target similarity threshold,
-    and to understand why tests must plant KNOWN colliders rather than
+    band-collides, and with the default b=24, r=3 the curve gives
+    ~1.0 at s=0.7, ~0.96 at s=0.5 (the near-dup family's default
+    threshold — the ≥0.9 sizing contract), ~0.48 at s=0.3, ~0.02 at
+    s=0.1 — use it to size (bands, rows) for a target similarity
+    threshold (rule of thumb: S-curve midpoint ≈ (1/b)^(1/r)), and to
+    understand why tests must plant KNOWN colliders rather than
     arbitrary near-dups."""
     return 1.0 - (1.0 - jaccard**rows) ** bands
 
 
-def band_relation(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, band_hash) from a k=16 signature relation.
+def band_relation(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band, band_hash) from a k=bands*rows signature relation.
 
     ONE pass over sig: explode an array of (band, band_hash) structs.
-    A 4-way union would replicate the signature aggregation subtree
+    A bands-way union would replicate the signature aggregation subtree
     per branch (and per join side) in the plan."""
-    rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = F.array(
         *[
             F.struct(
@@ -393,13 +431,13 @@ def band_relation(sig: DataFrame) -> DataFrame:
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(f"h{band * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
+                            F.col(f"h{band * rows + j}").cast("string")
+                            for j in range(rows)
                         ],
                     )
                 ).alias("band_hash"),
             )
-            for band in range(LSH_BANDS)
+            for band in range(bands)
         ]
     )
     return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
@@ -409,13 +447,18 @@ def band_relation(sig: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(
     docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
+    threshold: float = NEARDUP_THRESHOLD,
     clusters: DataFrame | None = None,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
 ) -> DataFrame:
     """Banded-LSH candidates, verified with exact Jaccard.
 
-    Result = pairs that (a) collide in ≥1 of 4 bands of the 16-wide
-    signature and (b) have true shingle-Jaccard ≥ threshold.
+    Result = pairs that (a) collide in ≥1 of `bands` bands of the
+    bands*rows-wide signature and (b) have true shingle-Jaccard ≥
+    threshold. Size (bands, rows) with `lsh_collision_probability` so
+    recall at `threshold` meets your target; the defaults give ≥0.96
+    at the default threshold 0.5.
 
     Exact duplicates are pre-grouped first: identical texts share
     identical signatures, so an m-copy cluster would make every band
@@ -460,10 +503,10 @@ def minhash_lsh_pairs(
     # One materialization of the hashed shingle relation feeds signature
     # generation AND candidate verification.
     sh = doc_shingle_hashes(rep_docs).cache()
-    sig = minhash_signatures(rep_docs, sh=sh)
-    bands = band_relation(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    sig = minhash_signatures(rep_docs, sh=sh, n_perm=bands * rows)
+    band_rel = band_relation(sig, bands=bands, rows=rows)
+    a = band_rel.alias("a")
+    b = band_rel.alias("b")
     candidates = (
         a.join(
             b,
@@ -556,20 +599,23 @@ def minhash_lsh_pairs(
     return cross.unionByName(intra)
 
 
-def _minhash_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
-    rows_per_band = N_MINHASH // LSH_BANDS
+def _minhash_oracle(
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
     sig_aggs = ",\n    ".join(
         f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
-        for seed, (a, b) in enumerate(_MH_PARAMS)
+        for seed, (a, b) in enumerate(_mh_params(bands * rows))
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {band} AS band, md5({expr}) AS band_hash FROM sig".format(
             band=band,
             expr=" || ',' || ".join(
-                f"h{band * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+                f"h{band * rows + j}::VARCHAR" for j in range(rows)
             ),
         )
-        for band in range(LSH_BANDS)
+        for band in range(bands)
     )
     return f"""
 WITH {_SHINGLES_CTE},
@@ -948,7 +994,9 @@ FROM toks t LEFT JOIN keptagg k USING (doc_id)
 def dedup_incremental_neardup(
     corpus: DataFrame,
     batch: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
 ) -> DataFrame:
     """Incremental NEAR-dup screening: find incoming batch documents
     whose shingle-Jaccard similarity to some existing corpus document
@@ -972,12 +1020,18 @@ def dedup_incremental_neardup(
     applies internally.
 
     Recall contract is LSH's: a cross-side pair is reported only if it
-    collides in ≥1 of the 4 bands (same contract as
-    `dedup_minhash_lsh`; the oracle mirrors it)."""
+    collides in ≥1 of the `bands` bands (same contract as
+    `dedup_minhash_lsh`; the oracle mirrors it). The default (b=24,
+    r=3) gives ≥0.96 collision probability at the default threshold."""
+    n_perm = bands * rows
     csh = doc_shingle_hashes(corpus).cache()
     bsh = doc_shingle_hashes(batch).cache()
-    cband = band_relation(minhash_signatures(corpus, sh=csh))
-    bband = band_relation(minhash_signatures(batch, sh=bsh))
+    cband = band_relation(
+        minhash_signatures(corpus, sh=csh, n_perm=n_perm), bands=bands, rows=rows
+    )
+    bband = band_relation(
+        minhash_signatures(batch, sh=bsh, n_perm=n_perm), bands=bands, rows=rows
+    )
     candidates = (
         bband.alias("b")
         .join(
@@ -1028,20 +1082,23 @@ def _dedup_incremental_neardup_docs(spark, sf_dir):
     return dedup_incremental_neardup(corpus, batch)
 
 
-def _incremental_neardup_oracle(threshold: float = JACCARD_THRESHOLD) -> str:
+def _incremental_neardup_oracle(
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
     sig_aggs = ",\n    ".join(
         f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
-        for seed, (a, b) in enumerate(_MH_PARAMS)
+        for seed, (a, b) in enumerate(_mh_params(bands * rows))
     )
-    rows_per_band = N_MINHASH // LSH_BANDS
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, side, {band} AS band, md5({expr}) AS band_hash FROM sig".format(
             band=band,
             expr=" || ',' || ".join(
-                f"h{band * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+                f"h{band * rows + j}::VARCHAR" for j in range(rows)
             ),
         )
-        for band in range(LSH_BANDS)
+        for band in range(bands)
     )
     return f"""
 WITH {_SHINGLES_CTE},

@@ -14,8 +14,8 @@ PERSISTED corpus LSH index before being admitted to it:
 The index is two parquet relations under `index_path`:
     shingles/  (doc_id, sh)            — for exact verification
     bands/     (doc_id, band, band_hash) — for candidate generation
-Exactly what a production ingest keeps hot: O(index docs × 4) band
-rows and the shingle sets — never the documents themselves.
+Exactly what a production ingest keeps hot: O(index docs × LSH_BANDS)
+band rows and the shingle sets — never the documents themselves.
 
 Semantics: a pair is flagged when the LATER document arrives (earlier
 doc is already indexed); duplicates WITHIN one micro-batch are not
@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.operators.dedup import (
-    JACCARD_THRESHOLD,
+    NEARDUP_THRESHOLD,
     band_relation,
     doc_shingle_hashes,
     minhash_signatures,
@@ -160,7 +160,7 @@ def neardup_ingest_stream(
     index_path: str,
     matches_path: str,
     checkpoint: str,
-    threshold: float = JACCARD_THRESHOLD,
+    threshold: float = NEARDUP_THRESHOLD,
 ):
     """Start the screening ingest over a streaming documents relation
     (columns doc_id, text). Returns the started StreamingQuery."""

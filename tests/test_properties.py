@@ -158,10 +158,10 @@ def test_incremental_neardup_matches_python_model(spark, corpus_texts, batch_tex
 
     from apd_map_reduce_spark.operators.dedup import (
         _MH_PARAMS,
-        JACCARD_THRESHOLD,
         LSH_BANDS,
         MINHASH_PRIME,
         N_MINHASH,
+        NEARDUP_THRESHOLD,
         dedup_incremental_neardup,
     )
 
@@ -203,7 +203,7 @@ def test_incremental_neardup_matches_python_model(spark, corpus_texts, batch_tex
                 inter = len(b_sh[bd] & c_sh[cd])
                 union = len(b_sh[bd] | c_sh[cd])
                 j = round(inter / union, 6) if union else 0.0
-                if j >= JACCARD_THRESHOLD:
+                if j >= NEARDUP_THRESHOLD:
                     expected[(bd, cd)] = j
 
     got = {
@@ -287,14 +287,22 @@ def test_dedup_family_partition_sweep(spark):
 
 
 def test_lsh_collision_probability_curve():
-    from apd_map_reduce_spark.operators.dedup import lsh_collision_probability as p
+    from apd_map_reduce_spark.operators.dedup import (
+        NEARDUP_THRESHOLD,
+        lsh_collision_probability as p,
+    )
 
     assert p(1.0) == 1.0 and p(0.0) == 0.0
     assert 0.98 < p(0.9) < 1.0
-    assert 0.2 < p(0.5) < 0.25
+    # THE production sizing contract: the default (bands, rows) must
+    # give >=0.9 recall at the near-dup family's own default threshold.
+    assert p(NEARDUP_THRESHOLD) >= 0.9
+    # the historical demo config (k=16, b=4/r=4) was ~0.23 at s=0.5 —
+    # the curve still reproduces it when asked
+    assert 0.2 < p(0.5, bands=4, rows=4) < 0.25
     # monotone in s; more bands raise recall at fixed r
     assert p(0.6) > p(0.5) > p(0.4)
-    assert p(0.5, bands=8) > p(0.5, bands=4)
+    assert p(0.5, bands=8, rows=4) > p(0.5, bands=4, rows=4)
 
 
 def test_new_ops_partition_sweep(spark):

@@ -58,9 +58,11 @@ def test_streaming_ingest_flags_cross_batch_near_dup(spark, tmp_path, two_batch_
     assert 0.2 <= got[frozenset((10, 1))] < 1.0
 
     # The index admitted every doc exactly once.
+    from apd_map_reduce_spark.operators.dedup import LSH_BANDS
+
     bands = spark.read.parquet(os.path.join(index, "bands"))
     assert bands.select("doc_id").distinct().count() == 4
-    assert bands.count() == 4 * 4  # LSH_BANDS rows per doc
+    assert bands.count() == 4 * LSH_BANDS  # LSH_BANDS rows per doc
 
 
 def test_streaming_ingest_matches_batch_twin(spark, tmp_path, two_batch_dirs):
@@ -116,9 +118,11 @@ def test_streaming_ingest_skips_rearrived_doc_ids(spark, tmp_path):
     )
     q.awaitTermination()
 
+    from apd_map_reduce_spark.operators.dedup import LSH_BANDS
+
     bands = spark.read.parquet(os.path.join(index, "bands"))
     # doc 1 indexed exactly once despite arriving twice
-    assert bands.filter("doc_id = 1").count() == 4
+    assert bands.filter("doc_id = 1").count() == LSH_BANDS
     assert read_matches(spark, matches).count() == 0
 
 
