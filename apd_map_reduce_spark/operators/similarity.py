@@ -250,14 +250,40 @@ WHERE ROUND(list_dot_product(a.emb, c.emb)
 N_CENTROIDS = 16
 N_PROBE = 2
 
+# SemDeDup cluster-count sizing: K grows with the corpus so in-cluster
+# pair work stays LINEAR in N. With K = ceil(N / target_cluster_rows)
+# the expected cluster size m is constant, so total pair work
+# K * m^2 = N * m — a fixed-K setup is N^2/K, the quadratic the r4
+# scale sweep measured (3.8x time on a 4x data step). Floor of 16
+# keeps small corpora identical to the historical fixed-K results;
+# the 256 cap bounds the assignment expression (K distance evaluations
+# per row — at the cap, assignment is the dominant linear-in-N cost,
+# exactly the IVF trade real systems make before going hierarchical).
+SEMDEDUP_TARGET_CLUSTER_ROWS = 32
+SEMDEDUP_MIN_CLUSTERS = 16
+SEMDEDUP_MAX_CLUSTERS = 256
 
-def _centroids() -> list[list[float]]:
+
+def semdedup_n_clusters(n_rows: int) -> int:
+    """K(N) = clamp(ceil(N / target), 16, 256) — mirrored bit-for-bit
+    in the DuckDB oracle (LEAST/GREATEST/CEIL on the same COUNT)."""
+    import math
+
+    return min(
+        SEMDEDUP_MAX_CLUSTERS,
+        max(SEMDEDUP_MIN_CLUSTERS, math.ceil(n_rows / SEMDEDUP_TARGET_CLUSTER_ROWS)),
+    )
+
+
+def _centroids(k: int = N_CENTROIDS) -> list[list[float]]:
     """Deterministic pseudo-random coarse centroids (md5-derived, same
     trick as _planes) — an IVF list structure without a training pass.
     Real systems k-means these; the *query path* (assign → probe
-    nprobe lists → exact rerank) is identical."""
+    nprobe lists → exact rerank) is identical. The family is prefix-
+    stable: _centroids(K)[:j] == _centroids(j), so growing K refines
+    the partition without moving existing centroids."""
     cents = []
-    for c in range(N_CENTROIDS):
+    for c in range(k):
         row = []
         for d in range(DIM):
             h = int(hashlib.md5(f"centroid:{c}:{d}".encode()).hexdigest()[:15], 16)
@@ -274,10 +300,10 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def _centroid_ranking(emb_col: str) -> Column:
+def _centroid_ranking(emb_col: str, n_centroids: int = N_CENTROIDS) -> Column:
     """Array of centroid ids ordered by ascending L2 distance (rounded,
     id tie-break) — element 1 = assignment, first N_PROBE = probe set."""
-    cents = _centroids()
+    cents = _centroids(n_centroids)
     pairs = F.array(
         *[
             F.struct(
@@ -371,7 +397,9 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {k}
 """
 
 
-def semdedup_prune(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+def semdedup_prune(
+    embeddings: DataFrame, threshold: float = 0.3, n_clusters: int | None = None
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then
     detect semantic duplicates ONLY within each cluster — the paper's
@@ -388,13 +416,23 @@ def semdedup_prune(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
     Scale: cluster_id (nearest coarse centroid, literal constants) is
     the shuffle key — the self-join is an equi-join touching 1/K of the
     corpus per block. In-cluster work is O(m²) by design (the paper's
-    accepted cost); a skewed hot cluster would be handled like the
-    exact-dup pre-group in minhash_lsh_pairs — dedup identical vectors
-    first, or sub-shard the cluster on a secondary LSH bit."""
+    accepted cost), so K must GROW with the corpus to keep m constant:
+    `n_clusters` defaults to K(N) = clamp(ceil(N/32), 16, 256)
+    (`semdedup_n_clusters`), making total pair work N·m — linear —
+    instead of the N²/K quadratic a fixed K measures on scale steps.
+    The row count comes from one COUNT aggregate (a bounded scalar, and
+    metadata-only on parquet); a standing deployment passes the known
+    corpus size explicitly. A skewed hot cluster would be handled like
+    the exact-dup pre-group in minhash_lsh_pairs — dedup identical
+    vectors first, or sub-shard the cluster on a secondary LSH bit."""
+    if n_clusters is None:
+        n_clusters = semdedup_n_clusters(embeddings.count())
     assigned = embeddings.select(
         "vec_id",
         "embedding",
-        F.element_at(_centroid_ranking("embedding"), 1).cast("long").alias("cluster_id"),
+        F.element_at(_centroid_ranking("embedding", n_clusters), 1)
+        .cast("long")
+        .alias("cluster_id"),
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster_id"
@@ -429,18 +467,39 @@ def semdedup_prune(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
 
 
 def _semdedup_oracle(threshold: float = 0.3) -> str:
-    cents = _centroids()
-    cent_literals = ", ".join("[" + ", ".join(f"{v!r}" for v in row) + "]" for row in cents)
-    dist_structs = ", ".join(
-        f"{{'d': ROUND(list_distance(cents[{c + 1}], emb), 6), 'cid': {c}}}"
-        for c in range(N_CENTROIDS)
-    )
+    """DuckDB twin of `semdedup_prune` with the SAME data-driven K:
+    k = clamp(ceil(count/target), min, max) from a COUNT scalar, and
+    the centroid family derived from md5 IN SQL (verified bit-identical
+    to the Python literals for the whole 256-centroid pool), so the
+    oracle needs no K-specific literal blob."""
     return f"""
-WITH cent_t AS (SELECT [{cent_literals}]::DOUBLE[][] AS cents),
+WITH n_t AS (SELECT COUNT(*) AS n FROM embeddings),
+k_t AS (
+  SELECT LEAST({SEMDEDUP_MAX_CLUSTERS},
+               GREATEST({SEMDEDUP_MIN_CLUSTERS},
+                        CAST(CEIL(n / {SEMDEDUP_TARGET_CLUSTER_ROWS}.0) AS BIGINT))) AS k
+  FROM n_t
+),
+cents AS (
+  SELECT c AS cid,
+         list(ROUND((('0x' || substr(md5('centroid:' || c || ':' || d), 1, 15))::BIGINT
+              / {float(1 << 60)!r}) * 2.0 - 1.0, 6) ORDER BY d) AS vec
+  FROM generate_series(0, {SEMDEDUP_MAX_CLUSTERS - 1}) t(c),
+       generate_series(0, {DIM - 1}) s(d),
+       k_t
+  WHERE c < k_t.k
+  GROUP BY c
+),
+b0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dist AS (
+  SELECT b0.vec_id, b0.emb, c.cid, ROUND(list_distance(c.vec, b0.emb), 6) AS dd
+  FROM b0, cents c
+),
 b AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         (list_transform(list_sort([{dist_structs}]), s -> s.cid))[1]::BIGINT AS cluster_id
-  FROM embeddings, cent_t
+  SELECT vec_id, emb, cid::BIGINT AS cluster_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
 ),
 pruned AS (
   SELECT DISTINCT y.vec_id

@@ -102,3 +102,27 @@ def test_perplexity_buckets_balanced_per_lang(spark):
         head_min = grp[grp["bucket_label"] == "head"]["mean_log10_freq"].min()
         tail_max = grp[grp["bucket_label"] == "tail"]["mean_log10_freq"].max()
         assert head_min >= tail_max, lang
+
+
+def test_semdedup_k_scales_with_corpus():
+    """K(N) contract: constant expected cluster size above the floor
+    (linear total pair work), clamped to [16, 256]; the centroid family
+    is prefix-stable so growing K refines rather than reshuffles."""
+    from apd_map_reduce_spark.operators.similarity import (
+        SEMDEDUP_MAX_CLUSTERS,
+        SEMDEDUP_MIN_CLUSTERS,
+        SEMDEDUP_TARGET_CLUSTER_ROWS,
+        _centroids,
+        semdedup_n_clusters,
+    )
+
+    assert semdedup_n_clusters(0) == SEMDEDUP_MIN_CLUSTERS
+    assert semdedup_n_clusters(500) == SEMDEDUP_MIN_CLUSTERS  # historical fixed-K corpora unchanged
+    assert semdedup_n_clusters(2000) == 63
+    assert semdedup_n_clusters(10**9) == SEMDEDUP_MAX_CLUSTERS
+    # linear regime: K proportional to N between the clamps
+    n = 4096
+    assert semdedup_n_clusters(2 * n) == 2 * semdedup_n_clusters(n)
+    assert semdedup_n_clusters(n) == n // SEMDEDUP_TARGET_CLUSTER_ROWS
+    # prefix stability
+    assert _centroids(63)[:16] == _centroids(16)
