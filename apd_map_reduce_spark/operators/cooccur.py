@@ -380,7 +380,12 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = B
     tok = base.select(
         "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
     ).filter(F.col("term").isin(list(terms)))
-    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is consumed twice (df derivation + the scored join input) and
+    # sits downstream of the tokenize+explode pass — cache it (2-4
+    # narrow columns, bounded by docs-matching-a-query-term) so the
+    # corpus is not re-tokenized per consumer; same pattern as
+    # dedup._shingle_pair_overlap's cached shingle relation.
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.round(
         F.log(
@@ -463,6 +468,149 @@ QUALIFY rank <= {k}
 """
 
 
+# Registry probe set for the parameterized variant: three queries of
+# mixed length/rarity (q0 reproduces BM25_QUERY so the two operators
+# can be cross-checked term-for-term).
+BM25_MULTI_QUERY_SET: tuple[tuple[int, str], ...] = (
+    (0, "hash"), (0, "join"), (0, "dup"),
+    (1, "sort"), (1, "group"),
+    (2, "row"), (2, "part"), (2, "merge"),
+)
+
+
+def bm25_multi_search(
+    docs: DataFrame, queries: DataFrame, k: int = BM25_TOP_K
+) -> DataFrame:
+    """BM25 top-k retrieval for a RELATION of queries — the
+    generalization of `bm25_search`'s fixed probe: `queries` is a small
+    dim (query_id LONG, term STRING); the result is the per-query top-k
+    (query_id, rank, doc_id, n_terms_matched, score).
+
+    Scoring is identical to `bm25_search` (same idf/tf/length
+    normalization, same rounding ladder), and per-term df depends only
+    on the corpus, so a doc's score for a query equals its
+    `bm25_search` score for the same term set — asserted in tests.
+    Repeated (query_id, term) rows are deduplicated (query = term SET).
+
+    Scale: the query relation is a classic broadcast dim. The corpus
+    tokenizer output is semi-joined against the DISTINCT term set
+    (broadcast) so only postings for queried terms survive to any
+    shuffle; (term, doc) partial scores are computed ONCE per term-doc
+    and then expanded per query by a second broadcast join — |Q| never
+    multiplies the tokenize/aggregate work, only the final small score
+    expansion. The per-query top-k is a window over query_id (keyed,
+    parallel across queries — not the single-partition window the
+    fixed-probe variant accepts for its one global ranking)."""
+    qset = queries.select("query_id", "term").distinct()
+    base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).alias("total_tokens"),
+    )
+    qterms = qset.select("term").distinct()
+    tok = base.select(
+        "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
+    ).join(F.broadcast(qterms), "term")
+    # cached for the same two-consumer reason as bm25_search
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    lr = F.round(
+        (F.col("dl") * F.col("n_docs")).cast("double")
+        / F.col("total_tokens").cast("double"),
+        6,
+    )
+    tfd = F.col("tf").cast("double")
+    part = F.round(
+        idf
+        * (
+            (tfd * F.lit(BM25_K1 + 1.0))
+            / (tfd + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * lr))
+        ),
+        6,
+    ).cast("decimal(12,6)")
+    scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("part", part)
+        .join(F.broadcast(qset), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("part").cast("double").alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "n_terms_matched", "score")
+    )
+
+
+def _bm25_multi_docs(spark, sf_dir):
+    queries = spark.createDataFrame(
+        list(BM25_MULTI_QUERY_SET), "query_id LONG, term STRING"
+    )
+    return bm25_multi_search(_docs(spark, sf_dir), queries)
+
+
+def _bm25_multi_oracle(
+    query_set: tuple[tuple[int, str], ...] = BM25_MULTI_QUERY_SET,
+    k: int = BM25_TOP_K,
+) -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in query_set)
+    k1 = BM25_K1
+    b = BM25_B
+    return f"""
+WITH qset AS (
+  SELECT DISTINCT query_id::BIGINT AS query_id, term
+  FROM (VALUES {values}) q(query_id, term)
+),
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(len(ts)) AS total_tokens FROM toks),
+tok AS (
+  SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM qset) GROUP BY doc_id, dl, term
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(
+           ROUND(ln(((n_docs - df)::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE), 6)
+           * ((tf::DOUBLE * {k1 + 1.0!r}::DOUBLE)
+              / (tf::DOUBLE + {k1!r}::DOUBLE *
+                 ({1.0 - b!r}::DOUBLE + {b!r}::DOUBLE *
+                  ROUND((dl * n_docs)::DOUBLE / total_tokens::DOUBLE, 6)))),
+         6) AS DECIMAL(12,6)) AS part
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN totals
+),
+scored AS (
+  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms_matched,
+         SUM(p.part)::DOUBLE AS score
+  FROM parts p JOIN qset q ON q.term = p.term
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms_matched, score
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def bigram_logprob(docs: DataFrame) -> DataFrame:
     """Bigram language-model fluency score: mean log10 of the corpus
     conditional probability p(w2 | w1) = c(w1,w2) / c(w1,·) over each
@@ -537,4 +685,5 @@ COOCCUR_QUERIES = [
     QueryDef("text_postings_delta", lambda s, d: delta_postings(_docs(s, d)), _DELTA_POSTINGS_ORACLE),
     QueryDef("text_bigram_logprob", lambda s, d: bigram_logprob(_docs(s, d)), _BIGRAM_ORACLE),
     QueryDef("text_bm25_search", lambda s, d: bm25_search(_docs(s, d)), _bm25_oracle()),
+    QueryDef("text_bm25_multi_search", _bm25_multi_docs, _bm25_multi_oracle()),
 ]

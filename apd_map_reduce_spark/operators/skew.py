@@ -172,15 +172,25 @@ def salted_join(
     Scale: shuffle volume grows by the replicated dim (n_salts×|dim|)
     — choose n_salts ≈ hot-key rows / healthy-partition rows, and
     salt only the hot keys (split-and-union) when the dim is large."""
+    # Collision-free helper names: a fact/dim that already carries a
+    # column named __salt/__dsalt would otherwise be silently joined on
+    # the wrong predicate (or have its data dropped by the final drop),
+    # breaking the row-identity contract. Suffix a counter until the
+    # names are absent from BOTH inputs.
+    taken = set(fact.columns) | set(dim.columns)
+    i = 0
+    while f"__salt{i}" in taken or f"__dsalt{i}" in taken:
+        i += 1
+    salt_col, dsalt_col = f"__salt{i}", f"__dsalt{i}"
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    dim_rep = dim.withColumn("__dsalt", F.explode(salts))
+    dim_rep = dim.withColumn(dsalt_col, F.explode(salts))
     # coalesce before crc32: crc32(NULL) is NULL and a NULL salt would
     # make the join predicate NULL — silently DROPPING fact rows whose
     # join key matches, which breaks the row-identity contract. NULL
     # salt sources all land in one bucket (hash of ""), which only
     # costs balance, never rows.
     fact_s = fact.withColumn(
-        "__salt",
+        salt_col,
         F.pmod(
             F.crc32(F.coalesce(F.col(salt_source).cast("string"), F.lit(""))),
             F.lit(n_salts),
@@ -189,9 +199,9 @@ def salted_join(
     return (
         fact_s.join(
             dim_rep,
-            (F.col(fact_key) == F.col(dim_key)) & (F.col("__salt") == F.col("__dsalt")),
+            (F.col(fact_key) == F.col(dim_key)) & (F.col(salt_col) == F.col(dsalt_col)),
         )
-        .drop("__salt", "__dsalt")
+        .drop(salt_col, dsalt_col)
     )
 
 

@@ -83,16 +83,22 @@ def build_clean_shards(
     )
 
     # 6. CCNet-style quality stratification: score on the RAW text
-    # (the LM-proxy statistic is defined pre-cleaning) and keep only
-    # the head/middle buckets per language.
+    # (the LM-proxy statistic is defined pre-cleaning) and DROP only
+    # the explicit "tail" bucket. Anti-join on the tail rather than
+    # semi-join on the head: perplexity_buckets never emits a row for
+    # a doc that tokenizes to zero tokens, and a semi-join would
+    # silently remove such unscored docs as if they had scored badly.
+    # (Unscored docs can't currently reach this point — the clean_text
+    # gate above requires surviving tokens — but the gate's semantics
+    # shouldn't depend on that coincidence.)
     from apd_map_reduce_spark.operators.textstats import perplexity_buckets
 
-    keep_ppl = (
+    drop_tail = (
         perplexity_buckets(docs)
-        .filter(F.col("bucket_label") != "tail")
+        .filter(F.col("bucket_label") == "tail")
         .select("doc_id")
     )
-    final = final.join(keep_ppl, "doc_id", "left_semi")
+    final = final.join(drop_tail, "doc_id", "left_anti")
 
     # 7. Deliver as deterministic JSONL shards.
     write_jsonl_shards(final, out_dir, n_shards=n_shards)

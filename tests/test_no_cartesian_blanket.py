@@ -24,6 +24,7 @@ SCALAR_BROADCAST_OK = {
     "text_cooccurrence_pmi",       # corpus totals (2x 1 row)
     "text_tfidf_top_terms",        # doc count (1 row)
     "text_bm25_search",            # (n_docs, total_tokens) scalars (1 row)
+    "text_bm25_multi_search",      # same (n_docs, total_tokens) scalar (1 row)
     "graph_triangle_count",        # n_edges x n_triangles (1 row each)
     "stats_mad_prices",            # per-group medians joined back (tiny)
     # The brute-force ANN baselines broadcast a FIXED-SIZE probe set

@@ -126,3 +126,41 @@ def test_semdedup_k_scales_with_corpus():
     assert semdedup_n_clusters(n) == n // SEMDEDUP_TARGET_CLUSTER_ROWS
     # prefix stability
     assert _centroids(63)[:16] == _centroids(16)
+
+
+def test_bm25_multi_q0_equals_fixed_probe(spark):
+    """Query 0 of the parameterized variant is BM25_QUERY itself, so
+    its per-doc scores and ranking must equal bm25_search's exactly."""
+    from apd_map_reduce_spark.operators.cooccur import (
+        BM25_MULTI_QUERY_SET,
+        bm25_multi_search,
+    )
+
+    docs = _docs(spark)
+    queries = spark.createDataFrame(
+        list(BM25_MULTI_QUERY_SET), "query_id LONG, term STRING"
+    )
+    multi = (
+        bm25_multi_search(docs, queries)
+        .filter(F.col("query_id") == 0)
+        .toPandas()
+        .sort_values("rank")
+    )
+    single = bm25_search(docs).toPandas().sort_values("rank")
+    assert multi["doc_id"].tolist() == single["doc_id"].tolist()
+    assert multi["score"].tolist() == single["score"].tolist()
+    assert multi["n_terms_matched"].tolist() == single["n_terms_matched"].tolist()
+
+
+def test_bm25_multi_dedupes_repeated_query_terms(spark):
+    """A query listing the same term twice scores it once (term-SET
+    semantics), so duplicated input rows change nothing."""
+    from apd_map_reduce_spark.operators.cooccur import bm25_multi_search
+
+    docs = _docs(spark)
+    base = [(0, "hash"), (0, "join")]
+    qa = spark.createDataFrame(base, "query_id LONG, term STRING")
+    qb = spark.createDataFrame(base + base, "query_id LONG, term STRING")
+    a = bm25_multi_search(docs, qa).toPandas().sort_values(["query_id", "rank"])
+    b = bm25_multi_search(docs, qb).toPandas().sort_values(["query_id", "rank"])
+    assert a.values.tolist() == b.values.tolist()

@@ -107,6 +107,27 @@ def test_salted_join_keeps_null_salt_rows(spark):
     assert len(out) == 3  # the NULL-src row survives
 
 
+def test_salted_join_survives_reserved_column_names(spark):
+    """Inputs already carrying the helper names must pass through
+    intact: the join still matches on the real predicate and the
+    user's columns are preserved, not dropped (advisor r4 finding)."""
+    from apd_map_reduce_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "x", 77), (2, "y", 88)], "k INT, src STRING, __salt0 INT"
+    )
+    dim = spark.createDataFrame(
+        [(1, "d1", 99), (2, "d2", 100)], "dk INT, label STRING, __dsalt0 INT"
+    )
+    out = salted_join(fact, dim, "k", "dk", salt_source="src", n_salts=4)
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # user columns with the "reserved" names survive with their values
+    assert rows[1]["__salt0"] == 77 and rows[2]["__salt0"] == 88
+    assert rows[1]["__dsalt0"] == 99 and rows[2]["__dsalt0"] == 100
+    assert rows[1].label == "d1" and rows[2].label == "d2"
+
+
 def test_top_keys_by_frequency(spark):
     events = load_table(spark, SF_SMOKE, "events")
     head = top_keys_by_frequency(events, "event_type", k=3).collect()
