@@ -30,16 +30,37 @@ META_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Stub: real decode needs PIL/libvips, not present in this
-    container. The plumbing around it (binary → metadata) is real."""
+def _codec():
+    """The optional image codec: PIL's Image module, or None when the
+    environment has no codec (this container). Import probed at call
+    time so executors resolve it against their own site-packages."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
+        from PIL import Image
+    except ImportError:  # pragma: no cover - container has no PIL
+        return None
+    return Image
+
+
+def has_image_codec() -> bool:
+    return _codec() is not None
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to a PIL Image when a codec is present;
+    honest NotImplementedError otherwise (this container ships no
+    codec). The REAL pixel path (`image_metadata`, `image_phash`,
+    `image_phash_neardup`) builds on this; the byte-level stubs below
+    stay the oracle-checked default either way."""
+    Image = _codec()
+    if Image is None:
         raise NotImplementedError(
             "image decode requires PIL/libvips; not available in this environment"
-        ) from exc
-    raise NotImplementedError("real decode path reserved for codec-enabled clusters")
+        )
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()  # force decode now — surfacing codec errors at the call site
+    return img
 
 
 def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,6 +116,45 @@ SELECT doc_id,
        (octet_length(encode(text)) * 7) % 480 AS fake_height
 FROM documents
 """
+
+
+# --- REAL codec path (optional dependency) -----------------------------------
+# Same mapInPandas/Arrow plumbing as the stubs, but over genuinely
+# decoded pixels. Only callable where PIL is installed
+# (`has_image_codec()`); tests skip without it. The stub queries above
+# remain the registered, oracle-checked surface in codec-less
+# environments — nothing below changes their results.
+
+IMAGE_META_SCHEMA = (
+    "doc_id LONG, n_bytes LONG, content_hash STRING, width LONG, height LONG, mode STRING"
+)
+
+
+def _extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "n_bytes": [], "content_hash": [],
+            "width": [], "height": [], "mode": [],
+        }
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(b)
+            img = decode_image(b)
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(b))
+            out["content_hash"].append(hashlib.md5(b).hexdigest())
+            out["width"].append(img.size[0])
+            out["height"].append(img.size[1])
+            out["mode"].append(img.mode)
+        yield pd.DataFrame(out)
+
+
+def image_metadata(images: DataFrame) -> DataFrame:
+    """REAL metadata extraction over an images relation
+    (doc_id LONG, payload BINARY): width/height/mode from the decoded
+    image — the codec-enabled twin of `multimodal_metadata`'s stub,
+    behind the same mapInPandas batch shape. Raises on executors when
+    no codec is installed (probe `has_image_codec()` first)."""
+    return images.mapInPandas(_extract_image_meta, IMAGE_META_SCHEMA)
 
 
 THUMB_GRID = 4
@@ -375,7 +435,13 @@ def multimodal_phash_neardup(
     Python/Arrow stage once PER SIDE — hashing every payload twice.
     The cached relation is 2 narrow columns (same rule as dedup.py's
     shingle cache; bench clears caches between passes)."""
-    ph = multimodal_phash(docs).cache()
+    return _phash_banded_pairs(multimodal_phash(docs).cache(), max_hamming)
+
+
+def _phash_banded_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded near-dup pairs over ANY (doc_id, phash) relation — shared
+    by the byte-stub and real-pixel signature producers; callers cache
+    `ph` (it feeds both self-join sides)."""
     bands = ph.select(
         "doc_id",
         "phash",
@@ -441,6 +507,54 @@ cand AS (
 SELECT id_a, id_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
 """
+
+
+PHASH_GRID_W = 10
+PHASH_GRID_H = 6  # 10 x 6 = PHASH_BITS cells
+
+
+def _image_phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL perceptual hash: decode → grayscale → bilinear downscale to
+    a 10x6 grid (60 cells = PHASH_BITS) → bit i set iff cell i is above
+    the global mean (same exact-integer cross-multiplication as the
+    stub, so the signature width, banding, and verification are shared
+    verbatim). Resample filter pinned to BILINEAR for cross-version
+    determinism."""
+    from PIL import Image
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "phash": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(b)).convert("L").resize(
+                (PHASH_GRID_W, PHASH_GRID_H), Image.Resampling.BILINEAR
+            )
+            px = list(img.getdata())  # 60 grayscale cells, row-major
+            total = sum(px)
+            h = 0
+            for i, p in enumerate(px):
+                if p * PHASH_BITS > total:
+                    h |= 1 << i
+            out["doc_id"].append(doc_id)
+            out["phash"].append(h)
+        yield pd.DataFrame(out)
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """Real-pixel perceptual hash over (doc_id, payload) — same
+    (doc_id, phash LONG) schema as the stub signature, so every
+    downstream consumer (banding, near-dup join) is shared. Codec
+    required (`has_image_codec()`)."""
+    return images.mapInPandas(_image_phash_batches, PHASH_SCHEMA)
+
+
+def image_phash_neardup(
+    images: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs from the REAL pHash — identical
+    banded candidate generation + exact-popcount verification as
+    `multimodal_phash_neardup` (the machinery is literally shared via
+    `_phash_banded_pairs`); only the signature producer differs."""
+    return _phash_banded_pairs(image_phash(images).cache(), max_hamming)
 
 
 MULTIMODAL_QUERIES = [

@@ -51,9 +51,67 @@ def test_frame_sample_shape_and_hashes(spark):
         assert r.frame_hash == hashlib.md5(chunk).hexdigest()
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+def test_decode_honest_without_codec():
+    """Without a codec, decode raises the documented NotImplementedError;
+    with one, garbage bytes surface the codec's own decode error."""
+    from apd_map_reduce_spark.operators.multimodal import has_image_codec
+
+    if has_image_codec():
+        with pytest.raises(Exception) as exc:
+            decode_image(b"\x89PNG...")
+        assert not isinstance(exc.value, NotImplementedError)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG...")
+
+
+def _png_bytes(pixels, size):
+    """Tiny in-memory PNG (requires PIL; callers importorskip first)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", size)
+    img.putdata(pixels)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_real_codec_metadata_and_phash(spark):
+    """Codec-enabled twin of the byte-level stubs: real width/height
+    from decoded pixels, and the shared banding machinery flags a
+    one-region-brightened copy as a near-dup while a structurally
+    different image stays out. Skips where PIL is absent (this
+    container); green where codecs exist."""
+    pytest.importorskip("PIL")
+    from apd_map_reduce_spark.operators.multimodal import (
+        image_metadata,
+        image_phash_neardup,
+    )
+
+    w, h = 40, 24
+    base = [(x * 255) // (w - 1) for y in range(h) for x in range(w)]  # ramp
+    near = list(base)
+    near[0] = 255 - near[0]  # single-pixel change -> low hamming
+    checker = [255 * ((x // 4 + y // 4) % 2) for y in range(h) for x in range(w)]
+    images = spark.createDataFrame(
+        [
+            (1, bytearray(_png_bytes(base, (w, h)))),
+            (2, bytearray(_png_bytes(near, (w, h)))),
+            (3, bytearray(_png_bytes(checker, (w, h)))),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    meta = {r.doc_id: r for r in image_metadata(images).collect()}
+    assert set(meta) == {1, 2, 3}
+    assert all((m.width, m.height) == (w, h) for m in meta.values())
+    assert all(m.mode == "L" for m in meta.values())
+    assert meta[1].content_hash != meta[2].content_hash
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_phash_neardup(images).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(3 not in k for k in pairs)
 
 
 def test_null_and_empty_text_tokens(spark):
