@@ -1,0 +1,118 @@
+"""Generate the sf1 step for the scale harness (scripts/scale_step.py).
+
+The driver ships sf0.001/0.01/0.1 read-only; the 100 TB question needs
+one more decade to confirm the banding/stop-shingle guards hold across
+TWO consecutive steps. This generator extends the family one decade,
+mirroring the sf0.1 tables' shape so growth factors stay comparable:
+
+  documents  — 10x rows (50,000), SAME 31-word vocabulary and length /
+               lang / source distributions (all read from the sf0.1
+               parquet, not hard-coded), similar exact-duplicate
+               (~0.2%) and near-duplicate (~0.4%) plant rates.
+  embeddings — 4x rows (8,000; the sf0.01→sf0.1 step was also 4x),
+               10 label-centered gaussian clusters in 64-d, ~1%
+               near-identical vector pairs so semantic dedup bites.
+
+Deterministic (numpy default_rng, fixed seed) and written OUTSIDE
+/root/testdata (which is read-only by mandate) — default
+<repo>/.scale/sf1, gitignored; only this generator is committed.
+
+Usage: python scripts/gen_scale_tables.py [out_dir] [sf01_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+DEFAULT_OUT = REPO / ".scale" / "sf1"
+DEFAULT_SF01 = "/root/testdata/sf0.1"
+SEED = 421
+DOC_MULT = 10
+EMB_MULT = 4
+
+
+def gen_documents(rng: np.random.Generator, sf01_dir: str, out: Path) -> int:
+    con = duckdb.connect()
+    base = con.sql(
+        f"SELECT text, lang, source FROM '{sf01_dir}/documents.parquet'"
+    ).fetchall()
+    vocab = sorted({w for t, _, _ in base for w in t.split()})
+    lengths = np.array([len(t.split()) for t, _, _ in base])
+    langs = np.array([l for _, l, _ in base])
+    sources = np.array(sorted({s for _, _, s in base}))
+    n = len(base) * DOC_MULT
+
+    pick_len = lengths[rng.integers(0, len(lengths), n)]
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), L))
+        for L in pick_len
+    ]
+    # plant exact duplicates (~0.2%, the sf0.1 rate) ...
+    for _ in range(n // 500):
+        i, j = sorted(rng.integers(0, n, 2).tolist())
+        if i != j:
+            texts[j] = texts[i]
+    # ... and near-duplicates (~0.4%): one-token substitution of the
+    # previous doc — Jaccard well above the 0.5 near-dup bar for the
+    # typical ~60-token doc.
+    for _ in range(n // 250):
+        i = int(rng.integers(0, n - 1))
+        toks = texts[i].split()
+        if len(toks) < 10:
+            continue
+        toks[int(rng.integers(0, len(toks)))] = vocab[int(rng.integers(0, len(vocab)))]
+        texts[i + 1] = " ".join(toks)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs[rng.integers(0, len(langs), n)], pa.string()),
+            "source": pa.array(sources[rng.integers(0, len(sources), n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out / "documents.parquet")
+    return n
+
+
+def gen_embeddings(rng: np.random.Generator, out: Path) -> int:
+    n = 2000 * EMB_MULT
+    labels = rng.integers(0, 10, n)
+    centers = rng.normal(0.0, 1.0, (10, 64))
+    emb = centers[labels] + rng.normal(0.0, 0.3, (n, 64))
+    for _ in range(n // 100):
+        i = int(rng.integers(1, n))
+        emb[i] = emb[i - 1] + rng.normal(0.0, 0.005, 64)
+    emb32 = emb.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(emb32), pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, out / "embeddings.parquet")
+    return n
+
+
+def main() -> int:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_OUT
+    sf01 = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_SF01
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    nd = gen_documents(rng, sf01, out)
+    ne = gen_embeddings(rng, out)
+    print(f"wrote {out}: documents={nd} embeddings={ne}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

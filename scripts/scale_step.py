@@ -9,12 +9,20 @@ interpret time growth against result growth, not in isolation).
 Protocol of record: warm pass, then min-of-3 noop-sink runs with
 caches cleared between passes (same as bench.py).
 
-Usage: python scripts/scale_step.py [out_json]
+A FOURTH decade (sf1: 10x documents / 4x embeddings, mirroring the
+previous step's per-table ratios) is generated on demand by
+scripts/gen_scale_tables.py into <repo>/.scale/sf1 — /root/testdata is
+read-only — and included automatically, so the banding/stop-shingle
+guards are observed across TWO consecutive decades. Pass --no-sf1 to
+restrict to the driver-shipped dirs.
+
+Usage: python scripts/scale_step.py [out_json] [--no-sf1]
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -25,6 +33,7 @@ from apd_map_reduce_spark.registry import QUERY_INDEX  # noqa: E402
 from apd_map_reduce_spark.session import get_spark  # noqa: E402
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SF1_DIR = Path(__file__).resolve().parent.parent / ".scale" / "sf1"
 QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -42,7 +51,20 @@ PASSES = 3
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:]]
+    with_sf1 = "--no-sf1" not in args
+    args = [a for a in args if a != "--no-sf1"]
+    out_path = args[0] if args else None
+
+    sf_dirs = list(SF_DIRS)
+    if with_sf1:
+        if not (SF1_DIR / "documents.parquet").exists():
+            subprocess.run(
+                [sys.executable, str(Path(__file__).parent / "gen_scale_tables.py")],
+                check=True,
+            )
+        sf_dirs.append(str(SF1_DIR))
+
     spark = get_spark(app_name="scale-step")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,7 +75,7 @@ def main() -> None:
     for name in QUERIES:
         q = QUERY_INDEX[name]
         per_sf: dict[str, dict] = {}
-        for sf_dir in SF_DIRS:
+        for sf_dir in sf_dirs:
             sf = sf_dir.rsplit("sf", 1)[-1]
             rows = q.fn(spark, sf_dir).count()
             run(q.fn(spark, sf_dir))  # warm
@@ -65,7 +87,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
                 spark.catalog.clearCache()
             per_sf[sf] = {"sec": round(best, 3), "rows": rows}
-        sfs = [d.rsplit("sf", 1)[-1] for d in SF_DIRS]
+        sfs = [d.rsplit("sf", 1)[-1] for d in sf_dirs]
         growth = [
             round(per_sf[sfs[i + 1]]["sec"] / per_sf[sfs[i]]["sec"], 2)
             for i in range(len(sfs) - 1)
