@@ -397,6 +397,65 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {k}
 """
 
 
+def _centroid_assign(embeddings: DataFrame, k: int, stride: int) -> DataFrame:
+    """(vec_id, embedding, cluster_id): nearest of k DATA-SAMPLED
+    centroids (the vectors with vec_id % stride == 0, cid = vec_id //
+    stride), tie-broken by (rounded distance, cid).
+
+    Two deliberate design points, both measured on the sf1 scale step:
+
+    * Centroids are sampled FROM THE DATA (FAISS-style coarse
+      quantizer — a deterministic stride instead of RNG, so the DuckDB
+      oracle mirrors it with a WHERE clause), not drawn from a fixed
+      pseudo-random family: synthetic-random centroids land in empty
+      space when the data is clustered, so entire data clusters
+      collapse into a few cells and the in-cluster quadratic survives
+      any K (measured 1.8M candidate pairs for 8k vectors at K=250;
+      sampled centroids sit inside the dense regions and split them).
+    * Assignment is a k-row BROADCAST relation + min_by argmin, not a
+      k-struct ranking expression: Catalyst's higher-order array
+      lambdas are interpreted, so the single-expression form costs
+      k × dim interpreted steps per row inside one giant tree
+      (measured 157 s for k=250 over 8k rows). Here the scan fans out
+      to n×k rows — the standard IVF assignment cost, bounded by the
+      K≤256 clamp — each evaluating ONE 64-dim distance. The
+      broadcast nested-loop join is whitelisted in the blanket plan
+      gate (bounded ≤256-row build side)."""
+    cents = embeddings.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k)
+    ).select(
+        (F.col("vec_id") / stride).cast("long").alias("cid"),
+        _dvec("embedding").alias("cvec"),
+    )
+    # Flat per-dimension expression instead of zip_with/aggregate: the
+    # higher-order fold is interpreted per element (the n×k fan-out
+    # made it the dominant cost), while 64 explicit squared-difference
+    # terms whole-stage-codegen. Left-associative + chain preserves
+    # the fold's summation order, so the rounded value is unchanged.
+    sq_terms = [
+        (
+            F.element_at(F.col("cvec"), d + 1)
+            - F.element_at(F.col("embedding"), d + 1).cast("double")
+        )
+        for d in range(DIM)
+    ]
+    l2 = None
+    for t in sq_terms:
+        term = t * t
+        l2 = term if l2 is None else l2 + term
+    dd = F.round(F.sqrt(l2), 6)
+    return (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dd", dd)
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.min_by("cid", F.struct("dd", "cid")).alias("cluster_id"),
+        )
+    )
+
+
 def semdedup_prune(
     embeddings: DataFrame, threshold: float = 0.3, n_clusters: int | None = None
 ) -> DataFrame:
@@ -413,27 +472,24 @@ def semdedup_prune(
     pays the iterative connected-components cost for the closure
     semantics.
 
-    Scale: cluster_id (nearest coarse centroid, literal constants) is
-    the shuffle key — the self-join is an equi-join touching 1/K of the
-    corpus per block. In-cluster work is O(m²) by design (the paper's
-    accepted cost), so K must GROW with the corpus to keep m constant:
+    Scale: cluster_id (nearest data-sampled coarse centroid — see
+    `_centroid_assign` for why sampled-from-data matters) is the
+    shuffle key — the self-join is an equi-join touching one cell per
+    block. In-cluster work is O(m²) by design (the paper's accepted
+    cost), so K must GROW with the corpus to keep m constant:
     `n_clusters` defaults to K(N) = clamp(ceil(N/32), 16, 256)
     (`semdedup_n_clusters`), making total pair work N·m — linear —
     instead of the N²/K quadratic a fixed K measures on scale steps.
     The row count comes from one COUNT aggregate (a bounded scalar, and
     metadata-only on parquet); a standing deployment passes the known
-    corpus size explicitly. A skewed hot cluster would be handled like
+    corpus size explicitly. A residual hot cell would be handled like
     the exact-dup pre-group in minhash_lsh_pairs — dedup identical
-    vectors first, or sub-shard the cluster on a secondary LSH bit."""
+    vectors first, or sub-shard the cell on a secondary LSH bit."""
+    n_rows = embeddings.count()
     if n_clusters is None:
-        n_clusters = semdedup_n_clusters(embeddings.count())
-    assigned = embeddings.select(
-        "vec_id",
-        "embedding",
-        F.element_at(_centroid_ranking("embedding", n_clusters), 1)
-        .cast("long")
-        .alias("cluster_id"),
-    )
+        n_clusters = semdedup_n_clusters(n_rows)
+    stride = max(n_rows // n_clusters, 1)
+    assigned = _centroid_assign(embeddings, n_clusters, stride)
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster_id"
     )
@@ -467,11 +523,12 @@ def semdedup_prune(
 
 
 def _semdedup_oracle(threshold: float = 0.3) -> str:
-    """DuckDB twin of `semdedup_prune` with the SAME data-driven K:
-    k = clamp(ceil(count/target), min, max) from a COUNT scalar, and
-    the centroid family derived from md5 IN SQL (verified bit-identical
-    to the Python literals for the whole 256-centroid pool), so the
-    oracle needs no K-specific literal blob."""
+    """DuckDB twin of `semdedup_prune` with the SAME data-driven K and
+    the SAME data-sampled centroid pool: k = clamp(ceil(count/target),
+    min, max) and stride = count // k from COUNT scalars; centroids =
+    the vectors at vec_id % stride == 0 (cid = vec_id // stride) —
+    a WHERE clause, so the oracle needs no literal centroid blob and
+    tracks any corpus size."""
     return f"""
 WITH n_t AS (SELECT COUNT(*) AS n FROM embeddings),
 k_t AS (
@@ -480,15 +537,11 @@ k_t AS (
                         CAST(CEIL(n / {SEMDEDUP_TARGET_CLUSTER_ROWS}.0) AS BIGINT))) AS k
   FROM n_t
 ),
+s_t AS (SELECT GREATEST(n // k, 1) AS stride, k FROM n_t, k_t),
 cents AS (
-  SELECT c AS cid,
-         list(ROUND((('0x' || substr(md5('centroid:' || c || ':' || d), 1, 15))::BIGINT
-              / {float(1 << 60)!r}) * 2.0 - 1.0, 6) ORDER BY d) AS vec
-  FROM generate_series(0, {SEMDEDUP_MAX_CLUSTERS - 1}) t(c),
-       generate_series(0, {DIM - 1}) s(d),
-       k_t
-  WHERE c < k_t.k
-  GROUP BY c
+  SELECT (vec_id // stride)::BIGINT AS cid, embedding::DOUBLE[] AS vec
+  FROM embeddings, s_t
+  WHERE vec_id % stride = 0 AND vec_id < stride * k
 ),
 b0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 dist AS (

@@ -32,6 +32,10 @@ SCALAR_BROADCAST_OK = {
     # paths are ann_lsh_topk / ann_ivf_topk, which are keyed joins.
     "ann_cosine_topk",
     "ann_int8_topk",
+    # IVF-style centroid assignment: every vector must see every
+    # centroid; the broadcast side is the K-row centroid pool, bounded
+    # by the SEMDEDUP_MAX_CLUSTERS=256 clamp (constant, not data-sized).
+    "dedup_semantic_clusters",
     "events_heavy_hitters",        # global event total (1 row)
     "events_decayed_totals",       # newest-event anchor timestamp (1 row)
     "graph_assoc_rules",           # basket-count N for support/lift (1 row)
