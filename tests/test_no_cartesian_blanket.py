@@ -25,6 +25,7 @@ SCALAR_BROADCAST_OK = {
     "text_tfidf_top_terms",        # doc count (1 row)
     "text_bm25_search",            # (n_docs, total_tokens) scalars (1 row)
     "text_bm25_multi_search",      # same (n_docs, total_tokens) scalar (1 row)
+    "text_dsir_weights",           # (n_raw, n_tgt) corpus totals (1 row)
     "graph_triangle_count",        # n_edges x n_triangles (1 row each)
     "stats_mad_prices",            # per-group medians joined back (tiny)
     # The brute-force ANN baselines broadcast a FIXED-SIZE probe set
