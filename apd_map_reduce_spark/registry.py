@@ -30,6 +30,7 @@ from apd_map_reduce_spark.operators.graph import GRAPH_QUERIES
 from apd_map_reduce_spark.operators.intervals import INTERVAL_QUERIES
 from apd_map_reduce_spark.operators.pii import PII_QUERIES
 from apd_map_reduce_spark.operators.quality import QUALITY_QUERIES
+from apd_map_reduce_spark.operators.retrieval import RETRIEVAL_QUERIES
 from apd_map_reduce_spark.operators.selection import SELECTION_QUERIES
 from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
@@ -135,6 +136,7 @@ ALL_QUERIES: list[QueryDef] = (
     + SNAPSHOT_QUERIES
     + CLUSTER_QUERIES
     + SELECTION_QUERIES
+    + RETRIEVAL_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}

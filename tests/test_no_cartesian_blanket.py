@@ -33,6 +33,9 @@ SCALAR_BROADCAST_OK = {
     # paths are ann_lsh_topk / ann_ivf_topk, which are keyed joins.
     "ann_cosine_topk",
     "ann_int8_topk",
+    # Hybrid RRF: inherits bm25_search's (n_docs, total_tokens) scalar
+    # AND broadcasts the single probe-embedding row (1 row by filter).
+    "text_hybrid_rrf_search",
     # IVF-style centroid assignment: every vector must see every
     # centroid; the broadcast side is the K-row centroid pool, bounded
     # by the SEMDEDUP_MAX_CLUSTERS=256 clamp (constant, not data-sized).
