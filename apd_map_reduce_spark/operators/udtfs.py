@@ -1,0 +1,110 @@
+"""Python UDTF surface (Spark 4) — table-function twin of the
+JVM-expression chunker.
+
+The engine's UDF coverage already spans scalar pandas UDFs
+(behavior.py), grouped/map Arrow UDFs (multimodal.py), and stateful
+streaming pandas (streaming/*). This module adds the remaining Spark-4
+Python extension point: a user-defined TABLE function, applied
+per-row via LATERAL join.
+
+`chunk_documents_udtf` re-implements `curation.chunk_documents`
+(doc → fixed-size training sequences) as a UDTF and is registered with
+the SAME DuckDB oracle — so the UDTF path is hash-checked against the
+exact semantics of the JVM-expression path, the same twin pattern as
+`text_fingerprint_pandas_udf`.
+
+Production guidance (docstring contract, measured reality): the
+JVM-expression `doc_chunk_sequences` is the hot path — whole-stage
+codegen, zero Python. The UDTF costs one Arrow round-trip per batch
+plus per-row Python `eval`; it exists because SOME chunkers cannot be
+expressed as expressions (sentence segmenters, model tokenizers with
+merges, format-aware splitters), and this is the shape they plug into:
+same output schema, same LATERAL application, swap `eval`.
+
+Tokenizer parity notes (the subtle cross-engine bits):
+  * Spark's `split(text, '\\s+')` is JAVA \\s — ASCII
+    [ \\t\\n\\x0B\\f\\r] only. Python's re \\s is unicode-aware over
+    str, which would MERGE tokens separated by unicode spaces
+    differently, so the UDTF splits on the explicit ASCII class.
+  * `[^A-Za-z]` strip + lower, empty tokens dropped — reference P1/P2
+    (tema1a/src/main.cpp:67-76) exactly as in functions/text.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import udtf
+
+from apd_map_reduce_spark.operators.curation import CHUNK_TOKENS
+from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.sources.tables import load_table
+
+# Java \s (ASCII), NOT Python \s (unicode) — see module docstring.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+_NON_ALPHA = re.compile("[^A-Za-z]")
+
+CHUNKS_SCHEMA = (
+    "doc_id BIGINT, chunk_idx BIGINT, n_chunk_tokens BIGINT, chunk_md5 STRING"
+)
+
+
+def _normalized_tokens_py(text: str) -> list[str]:
+    """Python twin of dedup.normalized_tokens / functions.text — pinned
+    by tests to the JVM expression token-for-token."""
+    out = []
+    for raw in _JAVA_WS.split(text):
+        w = _NON_ALPHA.sub("", raw).lower()
+        if w:
+            out.append(w)
+    return out
+
+
+@udtf(returnType=CHUNKS_SCHEMA)
+class ChunkDocuments:
+    """LATERAL chunk_documents_udtf(doc_id, text) → one row per
+    CHUNK_TOKENS-token training sequence (1-based chunk_idx, token
+    count, md5 of the space-joined chunk)."""
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        ts = _normalized_tokens_py(text)
+        for ci in range(0, len(ts), CHUNK_TOKENS):
+            chunk = ts[ci : ci + CHUNK_TOKENS]
+            yield (
+                doc_id,
+                ci // CHUNK_TOKENS + 1,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode("utf-8")).hexdigest(),
+            )
+
+
+def chunk_documents_udtf(docs: DataFrame) -> DataFrame:
+    """Apply the chunker UDTF per document (LATERAL join)."""
+    spark = docs.sparkSession
+    spark.udtf.register("chunk_documents_udtf", ChunkDocuments)
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_chunk_docs")
+    return spark.sql(
+        "SELECT c.* FROM udtf_chunk_docs d, "
+        "LATERAL chunk_documents_udtf(d.doc_id, d.text) c"
+    )
+
+
+def _chunks_oracle() -> str:
+    # the UDTF is hash-checked against the JVM chunker's oracle verbatim
+    from apd_map_reduce_spark.operators.curation import CHUNKS_ORACLE
+    from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL
+
+    return CHUNKS_ORACLE.format(tokens_sql=_TOKENS_SQL)
+
+
+UDTF_QUERIES = [
+    QueryDef(
+        "doc_chunk_sequences_udtf",
+        lambda s, d: chunk_documents_udtf(load_table(s, d, "documents")),
+        _chunks_oracle(),
+    ),
+]

@@ -32,6 +32,7 @@ from apd_map_reduce_spark.operators.pii import PII_QUERIES
 from apd_map_reduce_spark.operators.quality import QUALITY_QUERIES
 from apd_map_reduce_spark.operators.retrieval import RETRIEVAL_QUERIES
 from apd_map_reduce_spark.operators.selection import SELECTION_QUERIES
+from apd_map_reduce_spark.operators.udtfs import UDTF_QUERIES
 from apd_map_reduce_spark.operators.vectors import VECTOR_QUERIES
 from apd_map_reduce_spark.operators.multimodal import MULTIMODAL_QUERIES
 from apd_map_reduce_spark.operators.pipeline import PIPELINE_QUERIES
@@ -137,6 +138,7 @@ ALL_QUERIES: list[QueryDef] = (
     + CLUSTER_QUERIES
     + SELECTION_QUERIES
     + RETRIEVAL_QUERIES
+    + UDTF_QUERIES
 )
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
