@@ -30,17 +30,33 @@ and `tests/test_corpus_datasource.py` pins the two to identical
 results, so the data source doubles as an independent check of the
 ordinal-tagging contract.
 
+The same format also streams: `spark.readStream.format("corpus")
+.load(manifest)` treats the manifest as an append-only log (the
+reference's growth model — N on line 1 grows as paths are appended),
+with the stream offset = number of manifest entries ingested. Each
+micro-batch reads exactly the newly appended files, each file exactly
+once with its ordinal identity — the source-side half of the
+incremental inverted index (streaming/invindex.py), replacing the
+file-listing + tag-back join with manifest positions.
+
 Options:
   * path (positional via `.load(path)`): the manifest file.
   * wholetext ("true"/"false", default false): one row per FILE
     instead of per line — same pairing as `read_corpus_whole`.
+  * maxFilesPerTrigger (streaming only, default unbounded): cap on
+    manifest entries admitted per micro-batch.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 CORPUS_SCHEMA = "file_id INT, line STRING"
 
@@ -49,6 +65,32 @@ CORPUS_SCHEMA = "file_id INT, line STRING"
 class _FilePartition(InputPartition):
     file_id: int
     path: str
+    wholetext: bool = False
+
+
+def _read_file_partition(partition: _FilePartition):
+    """Executor-side file read shared by the batch and stream readers:
+    one Arrow RecordBatch per file (the work-queue granule)."""
+    import pyarrow as pa
+
+    with open(partition.path, encoding="utf-8") as fh:
+        text = fh.read()
+    if partition.wholetext:
+        lines = [text]
+    else:
+        # match the JVM text source's record semantics: \n-separated,
+        # trailing \r stripped (Hadoop LineRecordReader), final
+        # newline does not produce an empty trailing record
+        lines = [ln[:-1] if ln.endswith("\r") else ln for ln in text.split("\n")]
+        if lines and lines[-1] == "":
+            lines.pop()
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array([partition.file_id] * len(lines), type=pa.int32()),
+            pa.array(lines, type=pa.string()),
+        ],
+        names=["file_id", "line"],
+    )
 
 
 class CorpusDataSource(DataSource):
@@ -63,6 +105,9 @@ class CorpusDataSource(DataSource):
 
     def reader(self, schema) -> "CorpusReader":
         return CorpusReader(self.options)
+
+    def streamReader(self, schema) -> "CorpusStreamReader":
+        return CorpusStreamReader(self.options)
 
 
 class CorpusReader(DataSourceReader):
@@ -83,31 +128,63 @@ class CorpusReader(DataSourceReader):
         from apd_map_reduce_spark.sources.manifest import parse_manifest
 
         return [
-            _FilePartition(file_id, p)
+            _FilePartition(file_id, p, self._wholetext)
             for file_id, p in parse_manifest(self._manifest_path)
         ]
 
     def read(self, partition: _FilePartition):
-        import pyarrow as pa
+        yield from _read_file_partition(partition)
 
-        with open(partition.path, encoding="utf-8") as fh:
-            text = fh.read()
-        if self._wholetext:
-            lines = [text]
-        else:
-            # match the JVM text source's record semantics: \n-separated,
-            # trailing \r stripped (Hadoop LineRecordReader), final
-            # newline does not produce an empty trailing record
-            lines = [ln[:-1] if ln.endswith("\r") else ln for ln in text.split("\n")]
-            if lines and lines[-1] == "":
-                lines.pop()
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([partition.file_id] * len(lines), type=pa.int32()),
-                pa.array(lines, type=pa.string()),
-            ],
-            names=["file_id", "line"],
-        )
+
+class CorpusStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the append-only manifest.
+
+    Offset = {"index": n} — the count of manifest entries ingested so
+    far; monotone because the manifest only appends (the documented
+    growth contract; shrinking it mid-stream is out of contract, as
+    with any source's retention breach). The reader instance lives on
+    the driver for the life of the query, so `maxFilesPerTrigger`
+    rate-limits by advancing latestOffset at most that many entries
+    past the previous plan point; exactly-once per file follows from
+    offset-range planning (each entry appears in exactly one
+    [start, end) range, checkpoint-replayable)."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "corpus source requires the manifest path: "
+                "spark.readStream.format('corpus').load('<manifest>')"
+            )
+        self._manifest_path = path
+        self._wholetext = str(options.get("wholetext", "false")).lower() == "true"
+        max_files = options.get("maxfilespertrigger")
+        self._max_files = int(max_files) if max_files else None
+        self._planned = 0  # highest offset handed to the engine so far
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        from apd_map_reduce_spark.sources.manifest import parse_manifest
+
+        available = len(parse_manifest(self._manifest_path))
+        if self._max_files is not None:
+            available = min(available, self._planned + self._max_files)
+        self._planned = max(self._planned, available)
+        return {"index": available}
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        from apd_map_reduce_spark.sources.manifest import parse_manifest
+
+        entries = parse_manifest(self._manifest_path)[start["index"] : end["index"]]
+        return [_FilePartition(file_id, p, self._wholetext) for file_id, p in entries]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side cleanup: the manifest is the log
 
 
 def register_corpus_source(spark) -> None:

@@ -1,0 +1,104 @@
+"""Streaming half of format('corpus'): the manifest as an append-only
+log. Exactly-once per file, ordinal identity preserved, growth picked
+up across micro-batches, and the flagship incremental index unchanged
+when fed from the custom source instead of the file-listing source."""
+
+from __future__ import annotations
+
+import os
+
+from apd_map_reduce_spark.operators.invindex import inverted_index
+from apd_map_reduce_spark.sources.corpus_datasource import register_corpus_source
+from apd_map_reduce_spark.sources.manifest import read_corpus, read_manifest
+from apd_map_reduce_spark.streaming.invindex import incremental_inverted_index
+
+
+def _stream(spark, manifest_path, **options):
+    register_corpus_source(spark)
+    reader = spark.readStream.format("corpus")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(manifest_path)
+
+
+def test_stream_drains_manifest_exactly_once(spark, small_corpus_dir):
+    manifest_path = os.path.join(small_corpus_dir, "manifest.txt")
+    stream = _stream(spark, manifest_path, maxFilesPerTrigger="1")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_ds_rows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table("corpus_ds_rows").collect()))
+        want = sorted(
+            map(
+                tuple,
+                read_corpus(spark, read_manifest(spark, manifest_path)).collect(),
+            )
+        )
+        assert got == want  # every line exactly once, correct ordinals
+        # maxFilesPerTrigger=1 → one file per micro-batch
+        assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    finally:
+        q.stop()
+
+
+def test_stream_picks_up_appended_files(spark, tmp_path):
+    # start with 2 files, append a 3rd while the query runs
+    texts = ["alpha beta", "beta gamma", "gamma delta"]
+    paths = []
+    for i, t in enumerate(texts, 1):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(t + "\n")
+        paths.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("2\n" + "\n".join(paths[:2]) + "\n")
+
+    q = (
+        _stream(spark, str(manifest))
+        .writeStream.format("memory")
+        .queryName("corpus_ds_growth")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.file_id for r in spark.table("corpus_ds_growth").collect()} == {1, 2}
+
+        manifest.write_text("3\n" + "\n".join(paths) + "\n")  # append-only growth
+        q.processAllAvailable()
+        rows = sorted(map(tuple, spark.table("corpus_ds_growth").collect()))
+        assert rows == [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")]
+    finally:
+        q.stop()
+
+
+def test_incremental_index_over_custom_source(spark, small_corpus_dir):
+    manifest_path = os.path.join(small_corpus_dir, "manifest.txt")
+    idx = incremental_inverted_index(
+        _stream(spark, manifest_path, maxFilesPerTrigger="1")
+    )
+    q = (
+        idx.writeStream.format("memory")
+        .queryName("corpus_ds_index")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.word: (tuple(r.file_ids), r.df)
+            for r in spark.table("corpus_ds_index").collect()
+        }
+    finally:
+        q.stop()
+    manifest = read_manifest(spark, manifest_path)
+    batch = {
+        r.word: (tuple(r.file_ids), r.df)
+        for r in inverted_index(read_corpus(spark, manifest)).collect()
+    }
+    assert got == batch
