@@ -375,6 +375,39 @@ def main() -> int:
         "twin": "batch: reference-flagship inverted_index over the same corpus",
     }
 
+    # 10. The same flagship index fed from the CUSTOM Python stream
+    #     source (format('corpus'): manifest-as-log offsets, one
+    #     partition per file) instead of the file-listing source —
+    #     proving the source swap is result-transparent through the
+    #     full aggregation. processAllAvailable drain: availableNow is
+    #     a JVM-source capability the Python wrapper does not declare.
+    from apd_map_reduce_spark.sources.corpus_datasource import (
+        register_corpus_source,
+    )
+
+    register_corpus_source(spark)
+    q = (
+        ids_csv(
+            incremental_inverted_index(
+                spark.readStream.format("corpus")
+                .option("maxFilesPerTrigger", "7")
+                .load(manifest_path)
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("tw_invindex_pyds")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    results["streaming_corpus_datasource_index"] = {
+        **compare(
+            spark.table("tw_invindex_pyds").toPandas(), ids_csv(batch_idx).toPandas()
+        ),
+        "twin": "batch: inverted_index; source: Python data source (manifest log)",
+    }
+
     shutil.rmtree(tmp, ignore_errors=True)
 
     n_fail = 0
