@@ -77,6 +77,44 @@ def test_stream_picks_up_appended_files(spark, tmp_path):
         q.stop()
 
 
+def test_checkpoint_restart_replays_exactly_once(spark, tmp_path):
+    """Offset-range replay across restarts: a new query instance over
+    the same checkpoint must not re-ingest committed manifest entries,
+    and must pick up entries appended while the stream was down."""
+    texts = ["alpha beta", "beta gamma", "gamma delta", "delta eps"]
+    paths = []
+    for i, t in enumerate(texts, 1):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(t + "\n")
+        paths.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            _stream(spark, str(manifest))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    manifest.write_text("2\n" + "\n".join(paths[:2]) + "\n")
+    run_once()
+    # grow the manifest while no query is running, then restart
+    manifest.write_text("4\n" + "\n".join(paths) + "\n")
+    run_once()
+    # restart again with nothing new — must add zero rows
+    run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == [(i + 1, t) for i, t in enumerate(texts)]
+
+
 def test_incremental_index_over_custom_source(spark, small_corpus_dir):
     manifest_path = os.path.join(small_corpus_dir, "manifest.txt")
     idx = incremental_inverted_index(
