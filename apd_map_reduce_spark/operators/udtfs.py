@@ -13,13 +13,16 @@ the SAME DuckDB oracle — so the UDTF path is hash-checked against the
 exact semantics of the JVM-expression path, the same twin pattern as
 `text_fingerprint_pandas_udf`.
 
-Production guidance (docstring contract, measured reality): the
-JVM-expression `doc_chunk_sequences` is the hot path — whole-stage
-codegen, zero Python. The UDTF costs one Arrow round-trip per batch
-plus per-row Python `eval`; it exists because SOME chunkers cannot be
-expressed as expressions (sentence segmenters, model tokenizers with
-merges, format-aware splitters), and this is the shape they plug into:
-same output schema, same LATERAL application, swap `eval`.
+Production guidance (measured, not assumed): at sf0.1 the two paths
+are at parity — min-of-3 warm noop-sink 0.42 s (UDTF) vs 0.49 s (JVM
+expression): the JVM chunker pays explode(sequence)+slice re-slicing
+per chunk, the UDTF streams each doc's tokens once in Python, and at
+this corpus shape the costs cancel. The JVM expression remains the
+registered default for its codegen fusion with downstream stages and
+zero Python-worker dependency; the UDTF is the plug-in shape for
+chunkers that CANNOT be expressions (sentence segmenters, model
+tokenizers with merges, format-aware splitters) — same output schema,
+same LATERAL application, swap `eval`.
 
 Tokenizer parity notes (the subtle cross-engine bits):
   * Spark's `split(text, '\\s+')` is JAVA \\s — ASCII

@@ -337,3 +337,32 @@ def test_new_ops_partition_sweep(spark):
             base = got
             assert all(len(g) > 0 for g in got), "fixture must be non-trivial"
         assert got == base, f"diverged at shuffle.partitions={n}"
+
+
+def test_retrieval_and_udtf_partition_sweep(spark):
+    """Partition-count invariance for the hybrid-RRF fusion and the
+    UDTF chunker (whose LATERAL join must not leak parallelism into
+    results), plus the corpus data source through the flagship index
+    (its partitioning is manifest-determined, not shuffle-determined)."""
+    from apd_map_reduce_spark.operators.retrieval import hybrid_rrf_search
+    from apd_map_reduce_spark.operators.udtfs import chunk_documents_udtf
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 200")
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 200")
+    base = None
+    for n in ("1", "5", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            got = (
+                sorted(tuple(r) for r in hybrid_rrf_search(docs, emb).collect()),
+                sorted(tuple(r) for r in chunk_documents_udtf(docs).collect()),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+        if base is None:
+            base = got
+            assert all(len(g) > 0 for g in got), "fixture must be non-trivial"
+        assert got == base, f"diverged at shuffle.partitions={n}"
