@@ -25,10 +25,14 @@ the planner owns end-to-end:
 
 This is the idiomatic Spark-4 surface for "teach the engine a custom
 format"; the composition reader (`read_corpus`) remains the default
-path (it rides the JVM-native text source — faster scans at scale),
-and `tests/test_corpus_datasource.py` pins the two to identical
-results, so the data source doubles as an independent check of the
-ordinal-tagging contract.
+path because it rides the JVM-native text source — measured on the
+355-file reference checker corpus through the full index (warm
+min-of-3, noop sink): 1.15 s vs 3.70 s here, the 3.2x being Python
+worker fan-out + Arrow transfer per file-partition. Use this source
+where its semantics pay (manifest-log streaming, ordinal-in-partition,
+formats the JVM has no reader for); `tests/test_corpus_datasource.py`
+pins the two to identical results, so it doubles as an independent
+check of the ordinal-tagging contract.
 
 The same format also streams: `spark.readStream.format("corpus")
 .load(manifest)` treats the manifest as an append-only log (the
