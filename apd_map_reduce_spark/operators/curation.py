@@ -307,6 +307,73 @@ WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
 """
 
 
+def mixture_temperature_rates(docs: DataFrame) -> DataFrame:
+    """Temperature-based mixture sampling rates per source — the
+    "alpha sampling" move multilingual/multi-source pretraining uses
+    (mC4/XLM-R style): sampling weight = size^alpha with alpha < 1, so
+    small sources are upsampled relative to their share and dominant
+    sources damped; rates are what a loader feeds `mixture_rebalance`-
+    shaped filters. alpha is FIXED at 0.5 because sqrt is the one
+    power IEEE 754 requires correctly rounded — pow(x, 0.7) is
+    libm-dependent and could differ in the last ulp across engines,
+    which a hash gate cannot tolerate (DETERMINISM: each weight is
+    round(sqrt, 6) → DECIMAL, the normalizing total is an exact
+    decimal sum, and the final rate is one scalar double division on
+    identical operands).
+
+    Size measure = SUM(n_chars) (exact BIGINT — a char-budget proxy
+    for tokens), not doc count, so many-tiny-docs sources are not
+    overweighted.
+
+    Scale: one groupBy over the corpus (|sources| rows out), a 1-row
+    total broadcast back over the |sources|-row relation — constant
+    beyond the single aggregation scan."""
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    sized = sizes.withColumn(
+        "weight",
+        F.round(F.sqrt(F.col("total_chars").cast("double")), 6).cast(
+            "decimal(24,6)"
+        ),
+    )
+    total = sized.agg(F.sum("weight").alias("total_weight"))
+    return (
+        sized.crossJoin(F.broadcast(total))
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.col("weight").cast("double") / F.col("total_weight").cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.col("weight").cast("double").alias("weight"),
+            "sample_rate",
+        )
+    )
+
+
+TEMPERATURE_RATES_ORACLE = """
+WITH sizes AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(ROUND(sqrt(total_chars::DOUBLE), 6) AS DECIMAL(24,6)) AS weight
+  FROM sizes
+),
+t AS (SELECT SUM(weight) AS total_weight FROM w)
+SELECT source, n_docs, total_chars, weight::DOUBLE AS weight,
+       ROUND(weight::DOUBLE / total_weight::DOUBLE, 6) AS sample_rate
+FROM w CROSS JOIN t
+"""
+
+
 N_SHUFFLE_SHARDS = 16
 SHUFFLE_SEED = "r3"
 
@@ -457,6 +524,11 @@ CURATION_QUERIES = [
         "mixture_rebalance",
         lambda s, d: mixture_rebalance(_docs(s, d)),
         MIXTURE_ORACLE,
+    ),
+    QueryDef(
+        "mixture_temperature_rates",
+        lambda s, d: mixture_temperature_rates(_docs(s, d)),
+        TEMPERATURE_RATES_ORACLE,
     ),
     QueryDef(
         "training_shuffle_order",

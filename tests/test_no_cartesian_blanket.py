@@ -41,6 +41,7 @@ SCALAR_BROADCAST_OK = {
     # by the SEMDEDUP_MAX_CLUSTERS=256 clamp (constant, not data-sized).
     "dedup_semantic_clusters",
     "events_heavy_hitters",        # global event total (1 row)
+    "mixture_temperature_rates",   # normalizing weight total (1 row)
     "events_decayed_totals",       # newest-event anchor timestamp (1 row)
     "graph_assoc_rules",           # basket-count N for support/lift (1 row)
 }

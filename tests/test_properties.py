@@ -339,6 +339,35 @@ def test_new_ops_partition_sweep(spark):
         assert got == base, f"diverged at shuffle.partitions={n}"
 
 
+def test_temperature_rates_are_sqrt_proportional(spark):
+    """The defining alpha=0.5 property: rate_i / rate_j =
+    sqrt(size_i / size_j) — small sources upsampled relative to their
+    share. Planted sizes 400 vs 100 chars → weights 20 vs 10 → rates
+    2/3 vs 1/3 exactly (vs 0.8/0.2 under proportional sampling)."""
+    from apd_map_reduce_spark.operators.curation import mixture_temperature_rates
+
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "big", 400), (2, "x", "en", "small", 100)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    rates = {
+        r.source: (r.weight, r.sample_rate)
+        for r in mixture_temperature_rates(docs).collect()
+    }
+    assert rates["big"] == (20.0, round(2 / 3, 6))
+    assert rates["small"] == (10.0, round(1 / 3, 6))
+    # and on the real table the rates normalize to ~1
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    out = mixture_temperature_rates(
+        load_table(spark, SF_SMOKE, "documents")
+    ).collect()
+    assert abs(sum(r.sample_rate for r in out) - 1.0) < 1e-4
+    assert all(r.sample_rate > 0 for r in out)
+
+
 def test_retrieval_and_udtf_partition_sweep(spark):
     """Partition-count invariance for the hybrid-RRF fusion and the
     UDTF chunker (whose LATERAL join must not leak parallelism into
