@@ -10,7 +10,9 @@ quality-filtered JSONL shard set, using only library operators:
     4. dedup         dup_groups + canonical_selection  (keep best copy)
     5. filter        quality_score thresholds
     6. stratify      perplexity_buckets        (drop the CCNet "tail")
-    7. deliver       write_jsonl_shards        (training loader format)
+    7. mix           mixture_temperature_rates (alpha=0.5 source damping
+                     to a half-char budget, hash-deterministic sampling)
+    8. deliver       write_jsonl_shards        (training loader format)
 
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
 
@@ -100,13 +102,58 @@ def build_clean_shards(
     )
     final = final.join(drop_tail, "doc_id", "left_anti")
 
-    # 7. Deliver as deterministic JSONL shards.
-    write_jsonl_shards(final, out_dir, n_shards=n_shards)
+    # 7. Temperature mixture (alpha=0.5): compute per-source sampling
+    # shares over the SURVIVING corpus, then downsample each source to
+    # its share of a half-char budget with the same hash-deterministic
+    # ppm filter mixture_rebalance uses (pure function of doc_id — no
+    # RNG, reproducible across runs/partitionings). keep_ppm caps at
+    # 1e6: sources whose temperature share exceeds their size keep
+    # everything (upsampling is the loader's job — epochs, not row
+    # duplication in the published shards).
+    from apd_map_reduce_spark.operators.curation import (
+        mixture_temperature_rates,
+    )
+    from apd_map_reduce_spark.operators.dedup import hash60
+
+    surv_src = docs.join(final.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "source", "n_chars"
+    )
+    rates = mixture_temperature_rates(surv_src)
+    total = rates.agg(F.sum("total_chars").alias("corpus_chars"))
+    ppm = (
+        rates.crossJoin(F.broadcast(total))
+        .withColumn(
+            "keep_ppm",
+            F.least(
+                F.lit(1_000_000),
+                F.round(
+                    F.lit(500_000.0)  # 1e6 ppm x half-budget
+                    * F.col("corpus_chars").cast("double")
+                    * F.col("sample_rate")
+                    / F.col("total_chars").cast("double")
+                ).cast("long"),
+            ),
+        )
+        .select("source", "keep_ppm")
+    )
+    mix_key = (
+        hash60(F.concat(F.lit("mixs:"), F.col("doc_id").cast("string"))) % 1_000_000
+    )
+    mixed = (
+        final.join(docs.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(ppm), "source")
+        .filter(mix_key < F.col("keep_ppm"))
+        .select("doc_id", "text")
+    )
+
+    # 8. Deliver as deterministic JSONL shards.
+    write_jsonl_shards(mixed, out_dir, n_shards=n_shards)
     n_out = spark.read.json(out_dir).count()
     return {
         "raw_docs": docs.count(),
         "profile_rows": profile_rows,
         "survivors": survivors.count(),
+        "pre_mix": final.count(),
         "published": n_out,
         "out_dir": out_dir,
     }

@@ -46,6 +46,12 @@ QUERIES = [
     "text_bm25_search",
     "text_boilerplate_spans",
     "corpus_inverted_index",
+    # session additions: the hybrid fusion is depth-bounded (expect
+    # scan-dominated growth), and the chunker pair contrasts the JVM
+    # expression against the Python UDTF path decade-by-decade
+    "text_hybrid_rrf_search",
+    "doc_chunk_sequences",
+    "doc_chunk_sequences_udtf",
 ]
 PASSES = 3
 

@@ -162,7 +162,7 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     out = str(tmp_path / "shards")
     stats = build_clean_shards(spark, SF_SMOKE, out, n_shards=4)
     assert stats["raw_docs"] == 500
-    assert 0 < stats["published"] <= stats["survivors"] <= stats["raw_docs"]
+    assert 0 < stats["published"] <= stats["pre_mix"] <= stats["survivors"] <= stats["raw_docs"]
     back = spark.read.json(out)
     assert back.count() == stats["published"]
     assert {"doc_id", "text", "shard"} <= set(back.columns)
