@@ -48,7 +48,8 @@ Options:
   * wholetext ("true"/"false", default false): one row per FILE
     instead of per line — same pairing as `read_corpus_whole`.
   * maxFilesPerTrigger (streaming only, default unbounded): cap on
-    manifest entries admitted per micro-batch.
+    manifest entries admitted per micro-batch, effective from the
+    second batch of a query instance (see CorpusStreamReader).
 """
 
 from __future__ import annotations
@@ -151,7 +152,21 @@ class CorpusStreamReader(DataSourceStreamReader):
     rate-limits by advancing latestOffset at most that many entries
     past the previous plan point; exactly-once per file follows from
     offset-range planning (each entry appears in exactly one
-    [start, end) range, checkpoint-replayable)."""
+    [start, end) range, checkpoint-replayable).
+
+    Rate-limit subtlety (caught by live probes, not review): the
+    engine's FIRST call to a new reader instance is latestOffset —
+    before initialOffset on a fresh query, and with no position signal
+    at all on a checkpoint restart (the committed offset lives in the
+    offset log; the Python protocol's latestOffset takes no start
+    argument). A limiter that assumed position 0 would hand back a
+    latestOffset BELOW the committed offset on restart; the engine
+    then chains subsequent ranges from that rewound point and REPLAYS
+    entries (observed as duplicates). Hence `_planned` starts UNKNOWN
+    and latestOffset returns everything available until a position is
+    learned (from the engine's own planned ranges): the FIRST
+    micro-batch of any query instance is unthrottled — the safe
+    direction — and maxFilesPerTrigger bounds every batch after it."""
 
     def __init__(self, options) -> None:
         path = options.get("path")
@@ -164,23 +179,28 @@ class CorpusStreamReader(DataSourceStreamReader):
         self._wholetext = str(options.get("wholetext", "false")).lower() == "true"
         max_files = options.get("maxfilespertrigger")
         self._max_files = int(max_files) if max_files else None
-        self._planned = 0  # highest offset handed to the engine so far
+        # highest offset handed to the engine, or None when this reader
+        # has not yet learned the stream position (checkpoint restart)
+        self._planned: int | None = None
 
     def initialOffset(self) -> dict:
+        self._planned = 0  # fresh query: position known exactly
         return {"index": 0}
 
     def latestOffset(self) -> dict:
         from apd_map_reduce_spark.sources.manifest import parse_manifest
 
         available = len(parse_manifest(self._manifest_path))
-        if self._max_files is not None:
+        if self._max_files is not None and self._planned is not None:
             available = min(available, self._planned + self._max_files)
-        self._planned = max(self._planned, available)
+        self._planned = max(self._planned or 0, available)
         return {"index": available}
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         from apd_map_reduce_spark.sources.manifest import parse_manifest
 
+        # the engine's own range is ground truth for the stream position
+        self._planned = max(self._planned or 0, start["index"], end["index"])
         entries = parse_manifest(self._manifest_path)[start["index"] : end["index"]]
         return [_FilePartition(file_id, p, self._wholetext) for file_id, p in entries]
 

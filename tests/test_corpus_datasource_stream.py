@@ -21,9 +21,15 @@ def _stream(spark, manifest_path, **options):
     return reader.load(manifest_path)
 
 
-def test_stream_drains_manifest_exactly_once(spark, small_corpus_dir):
+def test_stream_drains_manifest_exactly_once(spark, small_corpus_dir, tmp_path):
     manifest_path = os.path.join(small_corpus_dir, "manifest.txt")
-    stream = _stream(spark, manifest_path, maxFilesPerTrigger="1")
+    # copy of the manifest we can grow (the fixture dir is shared)
+    src_lines = open(manifest_path).read().splitlines()
+    paths = src_lines[1:]
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("1\n" + paths[0] + "\n")
+
+    stream = _stream(spark, str(manifest), maxFilesPerTrigger="1")
     assert stream.isStreaming
     q = (
         stream.writeStream.format("memory")
@@ -32,7 +38,9 @@ def test_stream_drains_manifest_exactly_once(spark, small_corpus_dir):
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()  # batch 1 (unthrottled by protocol): 1 file
+        manifest.write_text("3\n" + "\n".join(paths) + "\n")
+        q.processAllAvailable()  # throttled from here: 1 file per batch
         got = sorted(map(tuple, spark.table("corpus_ds_rows").collect()))
         want = sorted(
             map(
@@ -41,7 +49,7 @@ def test_stream_drains_manifest_exactly_once(spark, small_corpus_dir):
             )
         )
         assert got == want  # every line exactly once, correct ordinals
-        # maxFilesPerTrigger=1 → one file per micro-batch
+        # 1 first batch + 2 throttled batches for the appended files
         assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
     finally:
         q.stop()
@@ -110,6 +118,45 @@ def test_checkpoint_restart_replays_exactly_once(spark, tmp_path):
     run_once()
     # restart again with nothing new — must add zero rows
     run_once()
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == [(i + 1, t) for i, t in enumerate(texts)]
+
+
+def test_checkpoint_restart_with_rate_limit_never_rewinds(spark, tmp_path):
+    """Regression: a restarted reader has no initialOffset call to
+    learn the committed position; if its rate limiter assumed 0, its
+    latestOffset would fall BELOW the committed offset, the engine
+    would plan subsequent ranges from the rewound point, and entries
+    would be REPLAYED (observed as duplicates before the fix). The
+    first post-restart batch is unthrottled instead."""
+    texts = ["w0 c", "w1 c", "w2 c", "w3 c"]
+    paths = []
+    for i, t in enumerate(texts):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(t + "\n")
+        paths.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            _stream(spark, str(manifest), maxFilesPerTrigger="1")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    manifest.write_text("3\n" + "\n".join(paths[:3]) + "\n")
+    run_once()  # commits offset 3 across 3 throttled batches
+    manifest.write_text("4\n" + "\n".join(paths) + "\n")
+    run_once()  # fresh reader must NOT rewind below offset 3
+    run_once()  # idle restart must add nothing
 
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == [(i + 1, t) for i, t in enumerate(texts)]
