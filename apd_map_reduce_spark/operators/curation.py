@@ -234,6 +234,10 @@ SELECT doc_id, (ci + 1)::BIGINT AS chunk_idx,
 FROM c
 """
 
+# the fully-wired oracle — shared with the UDTF twin in udtfs.py so
+# the "same oracle" contract lives in exactly one constant
+CHUNKS_ORACLE_SQL = CHUNKS_ORACLE.format(tokens_sql=_TOKENS_SQL)
+
 
 def pack_token_shards(docs: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
     """Offset-based shard packing: docs are laid out in doc_id order
@@ -513,7 +517,7 @@ CURATION_QUERIES = [
     QueryDef(
         "doc_chunk_sequences",
         lambda s, d: chunk_documents(_docs(s, d)),
-        CHUNKS_ORACLE.format(tokens_sql=_TOKENS_SQL),
+        CHUNKS_ORACLE_SQL,
     ),
     QueryDef(
         "pack_token_shards",

@@ -36,12 +36,13 @@ Tokenizer parity notes (the subtle cross-engine bits):
 from __future__ import annotations
 
 import hashlib
+import itertools
 import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import udtf
 
-from apd_map_reduce_spark.operators.curation import CHUNK_TOKENS
+from apd_map_reduce_spark.operators.curation import CHUNK_TOKENS, CHUNKS_ORACLE_SQL
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -85,29 +86,35 @@ class ChunkDocuments:
             )
 
 
+_VIEW_SEQ = itertools.count()
+
+
 def chunk_documents_udtf(docs: DataFrame) -> DataFrame:
-    """Apply the chunker UDTF per document (LATERAL join)."""
+    """Apply the chunker UDTF per document (LATERAL join).
+
+    The temp view gets a unique per-call name and is dropped once the
+    statement is analyzed (spark.sql resolves eagerly, so the returned
+    DataFrame's plan no longer references the name) — two lazy
+    invocations over different inputs cannot clobber each other."""
     spark = docs.sparkSession
     spark.udtf.register("chunk_documents_udtf", ChunkDocuments)
-    docs.select("doc_id", "text").createOrReplaceTempView("udtf_chunk_docs")
-    return spark.sql(
-        "SELECT c.* FROM udtf_chunk_docs d, "
-        "LATERAL chunk_documents_udtf(d.doc_id, d.text) c"
-    )
+    view = f"udtf_chunk_docs_{next(_VIEW_SEQ)}"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT c.* FROM {view} d, "
+            "LATERAL chunk_documents_udtf(d.doc_id, d.text) c"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
-def _chunks_oracle() -> str:
-    # the UDTF is hash-checked against the JVM chunker's oracle verbatim
-    from apd_map_reduce_spark.operators.curation import CHUNKS_ORACLE
-    from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL
-
-    return CHUNKS_ORACLE.format(tokens_sql=_TOKENS_SQL)
-
-
+# the UDTF is hash-checked against the JVM chunker's oracle — the ONE
+# shared constant, so the twins cannot drift apart silently
 UDTF_QUERIES = [
     QueryDef(
         "doc_chunk_sequences_udtf",
         lambda s, d: chunk_documents_udtf(load_table(s, d, "documents")),
-        _chunks_oracle(),
+        CHUNKS_ORACLE_SQL,
     ),
 ]

@@ -76,17 +76,25 @@ class _FilePartition(InputPartition):
 def _read_file_partition(partition: _FilePartition):
     """Executor-side file read shared by the batch and stream readers:
     one Arrow RecordBatch per file (the work-queue granule)."""
+    import re
+
     import pyarrow as pa
 
-    with open(partition.path, encoding="utf-8") as fh:
+    # errors='replace' matches the JVM text source: Hadoop's Text
+    # decodes malformed UTF-8 to U+FFFD instead of failing the task.
+    # (Replacement-char COUNT for exotic truncated multi-byte
+    # sequences follows Python's maximal-subpart policy — the same
+    # policy modern Java uses.)
+    with open(partition.path, encoding="utf-8", errors="replace") as fh:
         text = fh.read()
     if partition.wholetext:
         lines = [text]
     else:
-        # match the JVM text source's record semantics: \n-separated,
-        # trailing \r stripped (Hadoop LineRecordReader), final
-        # newline does not produce an empty trailing record
-        lines = [ln[:-1] if ln.endswith("\r") else ln for ln in text.split("\n")]
+        # match the JVM text source's record semantics exactly
+        # (Hadoop LineRecordReader): records end at \r\n, lone \r, or
+        # \n — a bare CR IS a terminator — and a trailing terminator
+        # does not produce an empty final record
+        lines = re.split("\r\n|\r|\n", text)
         if lines and lines[-1] == "":
             lines.pop()
     yield pa.RecordBatch.from_arrays(

@@ -101,6 +101,10 @@ def build_clean_shards(
         .select("doc_id")
     )
     final = final.join(drop_tail, "doc_id", "left_anti")
+    # three consumers downstream (rates derivation, the mixed-shard
+    # write, the pre_mix stat) — cache so the dedup/clean/quality
+    # chain above executes once, not per consumer
+    final = final.cache()
 
     # 7. Temperature mixture (alpha=0.5): compute per-source sampling
     # shares over the SURVIVING corpus, then downsample each source to

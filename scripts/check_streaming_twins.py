@@ -381,17 +381,24 @@ def main() -> int:
     #     proving the source swap is result-transparent through the
     #     full aggregation. processAllAvailable drain: availableNow is
     #     a JVM-source capability the Python wrapper does not declare.
+    #     To genuinely exercise multi-batch offset planning (the first
+    #     batch of a query instance is unthrottled by protocol), the
+    #     manifest starts at half the corpus and grows mid-query: the
+    #     remaining 20 files arrive throttled 7 per micro-batch.
     from apd_map_reduce_spark.sources.corpus_datasource import (
         register_corpus_source,
     )
 
     register_corpus_source(spark)
+    grow_manifest = os.path.join(tmp, "manifest_grow.txt")
+    with open(grow_manifest, "w", encoding="utf-8") as fh:
+        fh.write(f"{len(paths) // 2}\n" + "\n".join(paths[: len(paths) // 2]) + "\n")
     q = (
         ids_csv(
             incremental_inverted_index(
                 spark.readStream.format("corpus")
                 .option("maxFilesPerTrigger", "7")
-                .load(manifest_path)
+                .load(grow_manifest)
             )
         )
         .writeStream.format("memory")
@@ -400,12 +407,17 @@ def main() -> int:
         .start()
     )
     q.processAllAvailable()
+    with open(grow_manifest, "w", encoding="utf-8") as fh:
+        fh.write(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     q.stop()
     results["streaming_corpus_datasource_index"] = {
         **compare(
             spark.table("tw_invindex_pyds").toPandas(), ids_csv(batch_idx).toPandas()
         ),
         "twin": "batch: inverted_index; source: Python data source (manifest log)",
+        "n_batches": n_batches,  # ≥4 = growth actually micro-batched
     }
 
     shutil.rmtree(tmp, ignore_errors=True)

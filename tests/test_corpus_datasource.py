@@ -80,17 +80,26 @@ def test_wholetext_option(spark, small_corpus_dir):
     assert a == b
 
 
-def test_crlf_and_missing_final_newline(spark, tmp_path):
-    # \r\n records and a file without a trailing newline must match the
-    # JVM text source's record semantics
+def test_line_record_edge_cases_match_jvm_source(spark, tmp_path):
+    # the JVM text source's record semantics (Hadoop LineRecordReader):
+    # \r\n records, a lone \r IS a terminator (classic-Mac / embedded
+    # CR), missing final newline, empty interior lines, and malformed
+    # UTF-8 decoded to U+FFFD instead of failing the task
     f1 = tmp_path / "a.txt"
     f1.write_bytes(b"alpha beta\r\ngamma\r\n")
     f2 = tmp_path / "b.txt"
     f2.write_bytes(b"delta")
+    f3 = tmp_path / "c.txt"
+    f3.write_bytes(b"one\rtwo\r\rthree\n")  # bare CR terminators
+    f4 = tmp_path / "d.txt"
+    f4.write_bytes(b"bad \xff byte\nok line\n")  # invalid UTF-8
     manifest = tmp_path / "manifest.txt"
-    manifest.write_text(f"2\n{f1}\n{f2}\n")
+    manifest.write_text(f"4\n{f1}\n{f2}\n{f3}\n{f4}\n")
     via_ds = _ds(spark, str(manifest))
     via_join = read_corpus(spark, read_manifest(spark, str(manifest)))
-    assert sorted(map(tuple, via_ds.collect())) == sorted(
-        map(tuple, via_join.collect())
-    )
+    got = sorted(map(tuple, via_ds.collect()))
+    want = sorted(map(tuple, via_join.collect()))
+    assert got == want
+    # sanity on the intended shapes, not just mutual agreement
+    assert (3, "one") in got and (3, "two") in got and (3, "") in got
+    assert any(r[0] == 4 and "�" in r[1] for r in got)
