@@ -422,19 +422,23 @@ def band_relation(
 
     ONE pass over sig: explode an array of (band, band_hash) structs.
     A bands-way union would replicate the signature aggregation subtree
-    per branch (and per join side) in the plan."""
+    per branch (and per join side) in the plan.
+
+    band_hash is the STRUCT of the band's `rows` minhash values, not a
+    digest of them: band collision is tuple equality either way (the
+    oracle's md5-of-tuple equality is the same predicate), but the
+    struct skips bands x (concat_ws + md5) per doc and shuffles 3
+    longs (~24 bytes) instead of a 32-char string — measured at sf0.1
+    on the full LSH query: 5.17 s vs 5.37 s min-of-3, identical pairs."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{band * rows + j}").cast("string")
-                            for j in range(rows)
-                        ],
-                    )
+                F.struct(
+                    *[
+                        F.col(f"h{band * rows + j}").alias(f"k{j}")
+                        for j in range(rows)
+                    ]
                 ).alias("band_hash"),
             )
             for band in range(bands)

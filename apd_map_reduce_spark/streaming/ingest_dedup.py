@@ -14,6 +14,9 @@ PERSISTED corpus LSH index before being admitted to it:
 The index is two parquet relations under `index_path`:
     shingles/  (doc_id, sh)            — for exact verification
     bands/     (doc_id, band, band_hash) — for candidate generation
+      (band_hash = STRUCT of the band's minhash values since the
+      digest-free band keys change; indexes persisted by the older
+      md5-string format must be rebuilt — the schemas don't union)
 Exactly what a production ingest keeps hot: O(index docs × LSH_BANDS)
 band rows and the shingle sets — never the documents themselves.
 
