@@ -164,18 +164,22 @@ def neardup_ingest_stream(
     matches_path: str,
     checkpoint: str,
     threshold: float = NEARDUP_THRESHOLD,
+    available_now: bool = True,
 ):
     """Start the screening ingest over a streaming documents relation
-    (columns doc_id, text). Returns the started StreamingQuery."""
-    return (
-        docs_stream.writeStream.foreachBatch(
-            _screen_and_index(index_path, matches_path, threshold)
-        )
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    (columns doc_id, text). Returns the started StreamingQuery.
+
+    `available_now=False` starts a continuous micro-batch query
+    instead of the drain-and-stop trigger — required for sources that
+    do not declare availableNow support (e.g. the Python
+    format('corpus') manifest-log source); the caller then drives it
+    with processAllAvailable()/stop()."""
+    w = docs_stream.writeStream.foreachBatch(
+        _screen_and_index(index_path, matches_path, threshold)
+    ).option("checkpointLocation", checkpoint).outputMode("append")
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def read_matches(spark, matches_path: str) -> DataFrame:

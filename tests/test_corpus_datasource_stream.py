@@ -162,6 +162,26 @@ def test_checkpoint_restart_with_rate_limit_never_rewinds(spark, tmp_path):
     assert got == [(i + 1, t) for i, t in enumerate(texts)]
 
 
+def test_streaming_ingest_example_end_to_end(spark, tmp_path):
+    """The examples/streaming_ingest.py composition: manifest-log
+    stream (wholetext) → persisted-LSH-index screening across a
+    query restart. The example's own asserts cover the semantics
+    (planted near-dups flagged against first-wave originals, distinct
+    doc unflagged, wave 1 not re-ingested)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    import streaming_ingest
+
+    old_argv = sys.argv
+    sys.argv = ["streaming_ingest.py", str(tmp_path / "demo")]
+    try:
+        assert streaming_ingest.main() == 0
+    finally:
+        sys.argv = old_argv
+
+
 def test_incremental_index_over_custom_source(spark, small_corpus_dir):
     manifest_path = os.path.join(small_corpus_dir, "manifest.txt")
     idx = incremental_inverted_index(
