@@ -36,7 +36,7 @@ exceeds max_df.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.plans.layout import spread
@@ -1000,6 +1000,112 @@ FROM toks t LEFT JOIN keptagg k USING (doc_id)
 """
 
 
+def exact_substr_spans(
+    docs: DataFrame, n: int = SPAN_TOKENS, min_df: int = SPAN_MIN_DF
+) -> DataFrame:
+    """ExactSubstr-style maximal duplicated spans (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): for each document, the MAXIMAL contiguous token
+    regions every position of which lies inside some n-token window
+    that also occurs in ≥ `min_df` distinct documents. Where
+    `boilerplate_spans` reports the windows themselves and
+    `remove_boilerplate` applies the mask, this emits the merged
+    intervals — the paper's unit of analysis (it reports duplicated
+    SUBSTRINGS of length ≥ 50 tokens, not fixed windows; n=50 there,
+    n=8 here to suit the short synthetic docs).
+
+    Rows: (doc_id, span_start, span_end, span_tokens, span_text) with
+    1-based inclusive token positions. Overlapping or exactly-adjacent
+    duplicated windows merge into one span (with equal-length windows,
+    sorted starts s_prev < s_cur are one region iff s_cur <= s_prev+n).
+
+    Scale: the two relations are the span-df aggregation (uniform
+    high-cardinality key, map-side partial) and the duplicated-start
+    relation; island-merging is a window function PARTITIONED BY
+    doc_id (per-doc rows ≈ token count — no global sort, no skew
+    beyond document length), and the text reconstruction is one keyed
+    join back to the cached token relation. Same shuffle inventory as
+    `remove_boilerplate` plus the per-doc window."""
+    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
+    win = toks.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
+    )
+    dup = (
+        win.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("span")
+    )
+    starts = win.join(dup, "span").select("doc_id", "i0")
+    w = Window.partitionBy("doc_id").orderBy("i0")
+    # First row: lag is null → null comparison → otherwise-branch 0.
+    brk = F.when(F.col("i0") > F.lag("i0").over(w) + n, F.lit(1)).otherwise(F.lit(0))
+    islands = starts.withColumn("brk", brk).withColumn(
+        "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "g").agg(
+        (F.min("i0") + 1).cast("long").alias("span_start"),
+        (F.max("i0") + n).cast("long").alias("span_end"),
+    )
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("ts"),
+                F.col("span_start").cast("int"),
+                (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+
+
+EXACT_SUBSTR_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 0))) AS i
+  FROM toks
+),
+win AS (
+  SELECT doc_id, i,
+         {" || ' ' || ".join(f"ts[i+{j}]" for j in range(SPAN_TOKENS))} AS span
+  FROM idx
+),
+dup AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM win)
+  GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
+),
+starts AS (SELECT w.doc_id, w.i FROM win w JOIN dup USING (span)),
+flags AS (
+  SELECT doc_id, i,
+         CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                    + {SPAN_TOKENS} THEN 1 ELSE 0 END AS brk
+  FROM starts
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM flags
+),
+sp AS (
+  SELECT doc_id, MIN(i) AS span_start, MAX(i) + {SPAN_TOKENS - 1} AS span_end
+  FROM isl GROUP BY doc_id, g
+)
+SELECT sp.doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens,
+       array_to_string(t.ts[span_start:span_end], ' ') AS span_text
+FROM sp JOIN toks t USING (doc_id)
+"""
+
+
 def dedup_incremental_neardup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1163,6 +1269,11 @@ DEDUP_QUERIES = [
         "text_remove_boilerplate",
         lambda s, d: remove_boilerplate(_docs(s, d)),
         REMOVE_BOILERPLATE_ORACLE,
+    ),
+    QueryDef(
+        "dedup_exact_substr_spans",
+        lambda s, d: exact_substr_spans(_docs(s, d)),
+        EXACT_SUBSTR_SPANS_ORACLE,
     ),
     QueryDef(
         "dedup_incremental_neardup",

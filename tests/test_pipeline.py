@@ -103,6 +103,63 @@ def test_boilerplate_spans_planted_footer(spark):
     assert len(spans) == 4
 
 
+def test_exact_substr_spans_merges_suffix_windows(spark):
+    # The 11-token shared suffix yields 4 overlapping duplicated
+    # windows; ExactSubstr must merge them into ONE maximal span.
+    from apd_map_reduce_spark.operators.dedup import exact_substr_spans
+
+    footer = "all rights reserved contact us terms of service apply here"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique article one body text content words " + footer),
+            (2, "different second article body with other words " + footer),
+            (3, "third document has completely independent tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens, r.span_text)
+        for r in exact_substr_spans(docs, n=8, min_df=2).collect()
+    }
+    shared = "words " + footer  # 11 tokens, positions 7..17 in both docs
+    assert got == {
+        1: (7, 17, 11, shared),
+        2: (7, 17, 11, shared),
+    }
+
+
+def test_exact_substr_spans_adjacent_blocks_merge_gap_splits(spark):
+    # Doc 1 shares block X with doc 2 and block Y with doc 3. When X
+    # and Y sit back-to-back the two duplicated regions are one
+    # contiguous span (merge at s_cur == s_prev + n exactly); a single
+    # unshared token between them must split the result in two.
+    from apd_map_reduce_spark.operators.dedup import exact_substr_spans
+
+    x = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    y = "one two three four five six seven eight"  # 8 tokens
+    adjacent = spark.createDataFrame(
+        [(1, x + " " + y), (2, x + " tail filler padding"), (3, "lead intro " + y)],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in exact_substr_spans(adjacent, n=8, min_df=2).collect()
+    }
+    assert spans == {(1, 1, 16, 16), (2, 1, 8, 8), (3, 3, 10, 8)}
+
+    gapped = spark.createDataFrame(
+        [(1, x + " filler " + y), (2, x + " tail padding"), (3, "lead intro " + y)],
+        "doc_id long, text string",
+    )
+    doc1 = sorted(
+        (r.span_start, r.span_end, r.span_text)
+        for r in exact_substr_spans(gapped, n=8, min_df=2)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert doc1 == [(1, 8, x), (10, 17, y)]
+
+
 def test_remove_boilerplate_strips_only_covered_tokens(spark):
     from apd_map_reduce_spark.operators.dedup import remove_boilerplate
 
