@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.queries.base import QueryDef
@@ -271,6 +271,159 @@ FROM a
 """
 
 
+ADC_QUERIES = 10  # probe convention shared with operators/similarity
+ADC_TOP_K = 5
+
+
+def pq_adc_topk(
+    emb: DataFrame, n_queries: int = ADC_QUERIES, k: int = ADC_TOP_K
+) -> DataFrame:
+    """Asymmetric-distance PQ search (the ADC half of IVF-PQ, Jégou et
+    al. 2011, "Product Quantization for Nearest Neighbor Search"): rank
+    the corpus for each probe vector using ONLY its PQ codes plus a
+    per-query lookup table of subspace distances. This is the search
+    path that makes `embedding_pq_codes` useful — the corpus side never
+    touches raw vectors (4 small ints per row instead of 64 floats),
+    which is the memory-bandwidth win PQ exists for.
+
+    Score: adc6 = round(Σ_m round(||q_m − c_m||₂, 6)², 6) — the sum of
+    squared per-subspace distances to each code's reconstruction, i.e.
+    the exact squared L2 to the quantized neighbor, up to the 6-dp
+    rounding of the sub-distances (the same proven-deterministic
+    `_l2` ↔ list_distance twin every assignment here uses; squaring a
+    rounded double is one multiply of identical values in both
+    engines). Ties break on neighbor_id, self-matches excluded, per
+    the ANN family convention.
+
+    Scale: the LUTs are n_queries × PQ_K rows per subspace (80 rows
+    here) — broadcast dims; the corpus relation is the scan-only
+    `pq_assign` projection. Four broadcast hash joins fan the codes
+    out to N × n_queries scored rows (linear in N — a query scans
+    codes, never vectors), then one per-query window takes top-k. No
+    shuffle touches the corpus until the final k·Q-row ranking."""
+    books = pq_codebooks()
+    codes = pq_assign(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"code_{mi + 1}" for mi in range(PQ_M)],
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = codes
+    for mi, book in enumerate(books):
+        sub = F.transform(
+            F.slice(F.col("embedding"), mi * PQ_SUB + 1, PQ_SUB),
+            lambda x: x.cast("double"),
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("code"),
+                    F.round(_l2(F.array(*[F.lit(v) for v in row]), sub), 6).alias(
+                        "d"
+                    ),
+                )
+                for cid, row in book
+            ]
+        )
+        lut = queries.select(
+            "query_id", F.explode(entries).alias("e")
+        ).select(
+            "query_id",
+            F.col("e.code").alias(f"_c{mi + 1}"),
+            F.col("e.d").alias(f"_d{mi + 1}"),
+        )
+        on = [F.col(f"code_{mi + 1}") == F.col(f"_c{mi + 1}")]
+        if mi > 0:
+            on.append(F.col("query_id") == F.col(f"_q{mi + 1}"))
+            lut = lut.withColumnRenamed("query_id", f"_q{mi + 1}")
+        scored = scored.join(
+            F.broadcast(lut), on[0] if mi == 0 else (on[0] & on[1])
+        ).drop(f"_c{mi + 1}", f"_q{mi + 1}")
+    adc6 = F.round(
+        F.col("_d1") * F.col("_d1")
+        + F.col("_d2") * F.col("_d2")
+        + F.col("_d3") * F.col("_d3")
+        + F.col("_d4") * F.col("_d4"),
+        6,
+    )
+    ranked = (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc6", adc6)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("adc6"), F.asc("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        "query_id", "rnk", "neighbor_id", "adc6"
+    )
+
+
+def _adc_oracle() -> str:
+    books = pq_codebooks()
+    luts = []
+    for mi, book in enumerate(books):
+        lo, hi = mi * PQ_SUB + 1, (mi + 1) * PQ_SUB
+        structs = ", ".join(
+            "{'code': CAST(%d AS BIGINT), 'c': [%s]}"
+            % (cid, ", ".join(f"{v!r}" for v in row))
+            for cid, row in book
+        )
+        luts.append(
+            f"lut{mi + 1} AS (\n"
+            f"  SELECT query_id, u.code AS code,\n"
+            f"         ROUND(list_distance(emb[{lo}:{hi}], u.c), 6) AS d{mi + 1}\n"
+            f"  FROM q, (SELECT unnest([{structs}]) AS u)\n"
+            f")"
+        )
+    # Code assignment mirrors _pq_oracle's argmin construction.
+    assigns = []
+    for mi, book in enumerate(books):
+        lo, hi = mi * PQ_SUB + 1, (mi + 1) * PQ_SUB
+        structs = ", ".join(
+            "{'d': ROUND(list_distance(emb[%d:%d], [%s]), 6), 'cid': CAST(%d AS BIGINT)}"
+            % (lo, hi, ", ".join(f"{v!r}" for v in row), cid)
+            for cid, row in book
+        )
+        assigns.append(f"(list_sort([{structs}]))[1] AS s{mi + 1}")
+    assign_sql = ", ".join(assigns)
+    code_cols = ", ".join(
+        f"s{mi + 1}.cid AS code_{mi + 1}" for mi in range(PQ_M)
+    )
+    luts_sql = ",\n".join(luts)
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+a AS (SELECT vec_id, {assign_sql} FROM b),
+codes AS (SELECT vec_id AS neighbor_id, {code_cols} FROM a),
+q AS (SELECT vec_id AS query_id, emb FROM b WHERE vec_id < {ADC_QUERIES}),
+{luts_sql},
+scored AS (
+  SELECT l1.query_id, c.neighbor_id,
+         ROUND(l1.d1*l1.d1 + l2.d2*l2.d2 + l3.d3*l3.d3 + l4.d4*l4.d4, 6) AS adc6
+  FROM codes c
+  JOIN lut1 l1 ON l1.code = c.code_1
+  JOIN lut2 l2 ON l2.code = c.code_2 AND l2.query_id = l1.query_id
+  JOIN lut3 l3 ON l3.code = c.code_3 AND l3.query_id = l1.query_id
+  JOIN lut4 l4 ON l4.code = c.code_4 AND l4.query_id = l1.query_id
+  WHERE c.neighbor_id <> l1.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc6 ASC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, neighbor_id, adc6 FROM ranked WHERE rnk <= {ADC_TOP_K}
+"""
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -285,5 +438,10 @@ CLUSTER_QUERIES = [
         "embedding_pq_codes",
         lambda s, d: pq_assign(_emb(s, d)),
         _pq_oracle(),
+    ),
+    QueryDef(
+        "ann_pq_adc_topk",
+        lambda s, d: pq_adc_topk(_emb(s, d)),
+        _adc_oracle(),
     ),
 ]

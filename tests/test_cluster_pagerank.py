@@ -109,6 +109,51 @@ def test_cluster_stats_counts_sum_to_corpus(spark):
     assert set(per_pos.values()) == {40}
 
 
+def test_pq_adc_exact_copy_ranks_first_and_scores_check(spark):
+    import math
+
+    from apd_map_reduce_spark.operators.cluster import (
+        PQ_SUB,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+    from apd_map_reduce_spark.plans.quality import uses_broadcast_join
+
+    books = pq_codebooks()
+    # Corpus: vec 5 is an exact copy of the probe (vec 0) — identical
+    # codes, so its ADC distance is the global minimum (the probe's own
+    # quantization profile) and it must rank first. Vecs 6/7 are
+    # stitched from other codebook entries (far cells).
+    base = []
+    for mi in range(4):
+        base.extend(books[mi][1][1])
+    far_a, far_b = [], []
+    for mi in range(4):
+        far_a.extend(books[mi][6][1])
+        far_b.extend(books[mi][7][1])
+    rows = [(0, base), (5, list(base)), (6, far_a), (7, far_b)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    df = pq_adc_topk(emb, n_queries=1, k=3)
+    assert uses_broadcast_join(df), "per-query LUTs must broadcast"
+    got = sorted((r.rnk, r.neighbor_id, r.adc6) for r in df.collect())
+    assert got[0][1] == 5, "exact copy (same codes) must be the top neighbor"
+    # Expected score: per-subspace round-6 L2 from the float32-stored
+    # probe to its NEAREST codebook entry, squared and summed. The
+    # planted subspaces are codebook entry 1 exactly, so each distance
+    # is the float32 storage wobble — ~0 after round-6.
+    exp = 0.0
+    for mi in range(4):
+        sub = base[mi * PQ_SUB : (mi + 1) * PQ_SUB]
+        best = min(
+            round(math.dist(sub, row), 6) for _, row in books[mi]
+        )
+        exp += best * best
+    assert abs(got[0][2] - round(exp, 6)) <= 1e-6
+
+
 def test_pq_codes_exact_codebook_vectors(spark):
     from apd_map_reduce_spark.operators.cluster import pq_assign, pq_codebooks
 
