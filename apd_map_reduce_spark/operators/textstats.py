@@ -224,6 +224,80 @@ FROM documents
 """
 
 
+BPE_TOP_PAIRS = 50
+
+
+def bpe_merge_pairs(docs: DataFrame, top_n: int = BPE_TOP_PAIRS) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units", arXiv:1508.07909):
+    corpus-weighted frequencies of adjacent character pairs over the
+    WORD VOCABULARY — the statistic a BPE trainer maximizes to choose
+    each merge. `bpe_token_counts` measures with a finished tokenizer;
+    this is the aggregation that trains one.
+
+    Emits the top `top_n` merge candidates as (left_sym, right_sym,
+    pair_count, rnk), ranked (count DESC, left ASC, right ASC) — the
+    deterministic argmax order; rnk 1 is the merge BPE would perform.
+
+    Scale: the pair statistics run over (word, freq) — the vocabulary
+    aggregate, not the token stream — which is the standard BPE trick
+    making each merge iteration corpus-size-independent: the only
+    corpus-sized shuffle is the word-frequency groupBy (uniform key,
+    map-side partials). After normalization the symbol alphabet is
+    [a-z], so the pair relation tops out at 676 rows; the ranking
+    window is over that, not the corpus."""
+    vocab = (
+        spread(docs)
+        .select(F.explode(normalized_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.split(F.col("word"), "")
+    pair_structs = F.zip_with(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.slice(chars, 2, F.size(chars) - 1),
+        lambda l, r: F.struct(l.alias("left_sym"), r.alias("right_sym")),
+    )
+    agg = (
+        vocab.filter(F.length("word") >= 2)
+        .select("freq", F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+    )
+
+
+BPE_MERGE_PAIRS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(list_transform(string_split_regex(text, '\\s+'),
+         t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
+  FROM vocab, unnest(generate_series(1, len(word) - 1)) AS t(i)
+  WHERE len(word) >= 2
+),
+agg AS (
+  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY left_sym, right_sym
+),
+ranked AS (
+  SELECT left_sym, right_sym, pair_count,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym ASC, right_sym ASC) AS rnk
+  FROM agg
+)
+SELECT left_sym, right_sym, pair_count, rnk FROM ranked WHERE rnk <= {BPE_TOP_PAIRS}
+"""
+
+
 WINNOW_K = 5  # char k-gram length
 WINNOW_W = 4  # window of consecutive k-gram hashes
 
@@ -576,6 +650,7 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_fingerprint", lambda s, d: doc_fingerprint(_docs(s, d)), FINGERPRINT_ORACLE),
     QueryDef("text_winnow_fingerprints", lambda s, d: winnow_fingerprints(_docs(s, d)), WINNOW_ORACLE),
     QueryDef("text_bpe_token_counts", lambda s, d: bpe_token_counts(_docs(s, d)), BPE_TOKENS_ORACLE),
+    QueryDef("text_bpe_merge_pairs", lambda s, d: bpe_merge_pairs(_docs(s, d)), BPE_MERGE_PAIRS_ORACLE),
     QueryDef("text_unigram_logprob", lambda s, d: unigram_logprob(_docs(s, d)), UNIGRAM_ORACLE),
     QueryDef("text_token_entropy", lambda s, d: token_entropy(_docs(s, d)), ENTROPY_ORACLE),
     QueryDef("text_lang_id_ngram", lambda s, d: lang_id_ngram(_docs(s, d)), _lang_ngram_oracle()),

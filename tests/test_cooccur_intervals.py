@@ -26,6 +26,27 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_bpe_merge_pairs_hand_counts_and_tiebreak(spark):
+    # vocab: aaab freq 2 → (a,a) 2·2=4, (a,b) 2·1=2; ab freq 1 → (a,b) 1.
+    # totals: (a,a)=4, (a,b)=3; single-char word 'c' contributes no pair.
+    from apd_map_reduce_spark.operators.textstats import bpe_merge_pairs
+
+    docs = _docs(spark, [(1, "aaab aaab"), (2, "ab c")])
+    got = [
+        (r.rnk, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_pairs(docs).orderBy("rnk").collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3)]
+
+    # Equal counts break ties on (left ASC, right ASC).
+    tied = _docs(spark, [(1, "zy ab")])
+    got = [
+        (r.rnk, r.left_sym, r.right_sym)
+        for r in bpe_merge_pairs(tied).orderBy("rnk").collect()
+    ]
+    assert got == [(1, "a", "b"), (2, "z", "y")]
+
+
 def test_cooccurrence_counts_window2(spark):
     docs = _docs(spark, [(1, "a b c d")])
     got = {
