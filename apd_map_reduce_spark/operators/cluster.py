@@ -299,8 +299,14 @@ def pq_adc_topk(
     here) — broadcast dims; the corpus relation is the scan-only
     `pq_assign` projection. Four broadcast hash joins fan the codes
     out to N × n_queries scored rows (linear in N — a query scans
-    codes, never vectors), then one per-query window takes top-k. No
-    shuffle touches the corpus until the final k·Q-row ranking."""
+    codes, never vectors). The top-k is TWO-STAGE so no single task
+    ever ranks a whole query's N rows: a first window over
+    (query_id, code_1) — a deterministic existing column — keeps each
+    cell's local top-k (any global top-k row is top-k within its cell,
+    so the result is provably identical), then the per-query window
+    ranks ≤ PQ_K·k survivors. With Q queries the widest exchange
+    carries N·Q rows across Q·PQ_K keys; the Q-key final window sees
+    Q·PQ_K·k rows total."""
     books = pq_codebooks()
     codes = pq_assign(emb).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -347,19 +353,23 @@ def pq_adc_topk(
         + F.col("_d4") * F.col("_d4"),
         6,
     )
-    ranked = (
+    order = (F.asc("adc6"), F.asc("neighbor_id"))
+    pruned = (
         scored.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc6", adc6)
         .withColumn(
-            "rnk",
-            F.row_number()
-            .over(
-                Window.partitionBy("query_id").orderBy(
-                    F.asc("adc6"), F.asc("neighbor_id")
-                )
-            )
-            .cast("long"),
+            "lrnk",
+            F.row_number().over(
+                Window.partitionBy("query_id", "code_1").orderBy(*order)
+            ),
         )
+        .filter(F.col("lrnk") <= k)
+    )
+    ranked = pruned.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(*order))
+        .cast("long"),
     )
     return ranked.filter(F.col("rnk") <= k).select(
         "query_id", "rnk", "neighbor_id", "adc6"

@@ -16,7 +16,9 @@ read-only — and included automatically, so the banding/stop-shingle
 guards are observed across TWO consecutive decades. Pass --no-sf1 to
 restrict to the driver-shipped dirs.
 
-Usage: python scripts/scale_step.py [out_json] [--no-sf1]
+Usage: python scripts/scale_step.py [out_json] [--no-sf1] [--only q1,q2]
+(--only restricts to a comma-separated subset — partial sweeps for new
+operators; merge into the committed artifact with the full run.)
 """
 
 from __future__ import annotations
@@ -52,6 +54,13 @@ QUERIES = [
     "text_hybrid_rrf_search",
     "doc_chunk_sequences",
     "doc_chunk_sequences_udtf",
+    # third-session additions: ExactSubstr islands (same shuffle
+    # inventory as boilerplate + a per-doc window), PQ-ADC search
+    # (expect linear — corpus side is the code scan), and BPE merge
+    # pairs (vocabulary-sized after the token-frequency shuffle)
+    "dedup_exact_substr_spans",
+    "ann_pq_adc_topk",
+    "text_bpe_merge_pairs",
 ]
 PASSES = 3
 
@@ -60,6 +69,11 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     with_sf1 = "--no-sf1" not in args
     args = [a for a in args if a != "--no-sf1"]
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
     out_path = args[0] if args else None
 
     sf_dirs = list(SF_DIRS)
@@ -78,7 +92,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in only if only is not None else QUERIES:
         q = QUERY_INDEX[name]
         per_sf: dict[str, dict] = {}
         for sf_dir in sf_dirs:
