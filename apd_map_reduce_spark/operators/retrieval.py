@@ -46,6 +46,7 @@ from apd_map_reduce_spark.operators.cooccur import (
     _bm25_oracle,
     bm25_search,
 )
+from apd_map_reduce_spark.functions.embeddings import valid_embeddings
 from apd_map_reduce_spark.operators.similarity import _dot, _dvec, _norm
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
@@ -132,9 +133,10 @@ def _hybrid_rrf_oracle(
 WITH bm AS (
   SELECT doc_id, rank AS bm25_rank FROM ({bm25_sql}) t
 ),
-q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = {probe_vec_id}),
+q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id = {probe_vec_id}),
 c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb FROM embeddings
-      WHERE vec_id <> {probe_vec_id}),
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id <> {probe_vec_id}),
 cos AS (
   SELECT doc_id,
          ROUND(list_dot_product(q_emb, c_emb)
@@ -164,7 +166,8 @@ RETRIEVAL_QUERIES = [
     QueryDef(
         "text_hybrid_rrf_search",
         lambda s, d: hybrid_rrf_search(
-            load_table(s, d, "documents"), load_table(s, d, "embeddings")
+            load_table(s, d, "documents"),
+            valid_embeddings(load_table(s, d, "embeddings")),
         ),
         _hybrid_rrf_oracle(),
     ),

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from apd_map_reduce_spark.functions.embeddings import valid_embeddings
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -77,8 +78,9 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_
 
 
 COSINE_TOPK_ORACLE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+WITH vemb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb FROM vemb WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb FROM vemb),
 scored AS (
   SELECT query_id, neighbor_id,
          ROUND(list_dot_product(q_emb, c_emb)
@@ -169,6 +171,7 @@ b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          {bucket_sql} AS bucket
   FROM embeddings, plane_t
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, bucket AS c_bucket FROM b),
@@ -237,6 +240,7 @@ WITH plane_t AS (SELECT [{plane_literals}]::DOUBLE[][] AS planes),
 b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket_sql} AS bucket
   FROM embeddings, plane_t
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_dot_product(a.emb, c.emb)
@@ -376,6 +380,7 @@ b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          list_transform(list_sort([{dist_structs}]), s -> s.cid) AS ranking
   FROM embeddings, cent_t
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, ranking[1] AS list_id FROM b),
 q AS (
@@ -530,7 +535,8 @@ def _semdedup_oracle(threshold: float = 0.3) -> str:
     a WHERE clause, so the oracle needs no literal centroid blob and
     tracks any corpus size."""
     return f"""
-WITH n_t AS (SELECT COUNT(*) AS n FROM embeddings),
+WITH vemb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+n_t AS (SELECT COUNT(*) AS n FROM vemb),
 k_t AS (
   SELECT LEAST({SEMDEDUP_MAX_CLUSTERS},
                GREATEST({SEMDEDUP_MIN_CLUSTERS},
@@ -540,10 +546,10 @@ k_t AS (
 s_t AS (SELECT GREATEST(n // k, 1) AS stride, k FROM n_t, k_t),
 cents AS (
   SELECT (vec_id // stride)::BIGINT AS cid, embedding::DOUBLE[] AS vec
-  FROM embeddings, s_t
+  FROM vemb, s_t
   WHERE vec_id % stride = 0 AND vec_id < stride * k
 ),
-b0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM vemb),
 dist AS (
   SELECT b0.vec_id, b0.emb, c.cid, ROUND(list_distance(c.vec, b0.emb), 6) AS dd
   FROM b0, cents c
@@ -567,7 +573,7 @@ FROM b
 
 
 def _emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    return valid_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 SIMILARITY_QUERIES = [

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.functions.embeddings import valid_embeddings
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -65,7 +66,8 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
 
 
 QUANTIZE_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS arr FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS arr FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
 s AS (
   SELECT vec_id, embedding, arr,
          greatest(list_max(list_transform(arr, x -> abs(x))), {MIN_SCALE}) / 127.0 AS scale
@@ -107,6 +109,7 @@ WITH e AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS x,
          generate_subscripts(embedding, 1)::BIGINT AS pos
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 )
 SELECT label, pos, COUNT(*)::BIGINT AS n_vecs,
        SUM(floor(x * 1e6)::BIGINT)::BIGINT AS sum_micro
@@ -175,7 +178,8 @@ def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K)
 
 
 INT8_TOPK_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
 s AS (
   SELECT vec_id, arr,
          greatest(list_max(list_transform(arr, x -> abs(x))), {MIN_SCALE}) / 127.0 AS scale
@@ -241,11 +245,12 @@ NORMS_ORACLE = """
 SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
        ROUND(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
 FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) = 64
 """
 
 
 def _emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    return valid_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 VECTOR_QUERIES = [
