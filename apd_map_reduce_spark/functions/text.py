@@ -23,6 +23,18 @@ NON_ALPHA = "[^A-Za-z]"
 WHITESPACE = "\\s+"
 
 
+def null_safe_size(arr: Column) -> Column:
+    """`size()` with NULL-in → NULL-out.
+
+    Non-ANSI Spark returns -1 for `size(NULL)`; every DuckDB oracle's
+    `len()` propagates NULL instead, so a NULL-text document would
+    contribute -1 to one engine's token totals and nothing to the
+    other's (DETERMINISM.md rule 35). Use this for any size() whose
+    input array can be NULL (e.g. tokenizations of a nullable text
+    column)."""
+    return F.when(arr.isNotNull(), F.size(arr))
+
+
 def normalize_word(col: Column | str) -> Column:
     """P1 — `lower(regexp_replace(token, '[^A-Za-z]', ''))`.
 

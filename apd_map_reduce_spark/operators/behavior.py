@@ -69,7 +69,9 @@ def fingerprint_pandas(docs: DataFrame) -> DataFrame:
             cleaned = [re.sub("[^A-Za-z]", "", x).lower() for x in toks]
             return " ".join(w for w in cleaned if w)
 
-        return text.map(norm_one)
+        # NULL text → NULL fingerprint (the JVM twin's md5(NULL)); a
+        # plain .map would crash re.split on None.
+        return text.map(norm_one, na_action="ignore")
 
     normalized = _norm(F.col("text"))
     return docs.select(

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL, normalized_tokens
+from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
@@ -373,9 +374,11 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = B
     standing deployment those corpus statistics live in the index
     metadata and only the postings pass remains."""
     base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    # total_tokens: null_safe_size so a NULL-text doc contributes
+    # nothing (non-ANSI size(NULL) is -1; the oracle's SUM skips NULL).
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("ts")).alias("total_tokens"),
+        F.sum(null_safe_size(F.col("ts"))).alias("total_tokens"),
     )
     tok = base.select(
         "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
@@ -503,9 +506,11 @@ def bm25_multi_search(
     fixed-probe variant accepts for its one global ranking)."""
     qset = queries.select("query_id", "term").distinct()
     base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    # total_tokens: null_safe_size so a NULL-text doc contributes
+    # nothing (non-ANSI size(NULL) is -1; the oracle's SUM skips NULL).
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("ts")).alias("total_tokens"),
+        F.sum(null_safe_size(F.col("ts"))).alias("total_tokens"),
     )
     qterms = qset.select("term").distinct()
     tok = base.select(

@@ -35,6 +35,7 @@ from apd_map_reduce_spark.operators.dedup import (
     normalized_tokens,
     stop_shingle_filter,
 )
+from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -252,7 +253,7 @@ def pack_token_shards(docs: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
     from pyspark.sql.window import Window
 
     counts = docs.select(
-        "lang", "doc_id", F.size(normalized_tokens()).cast("long").alias("n_tokens")
+        "lang", "doc_id", null_safe_size(normalized_tokens()).cast("long").alias("n_tokens")
     )
     w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
@@ -445,7 +446,7 @@ def corpus_source_profile(docs: DataFrame) -> DataFrame:
         "lang",
         "source",
         F.md5("text").alias("digest"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        null_safe_size(toks).cast("long").alias("n_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
     return (

@@ -949,12 +949,16 @@ def remove_boilerplate(
         F.col("ts"),
         lambda t, p: ~F.exists(starts, lambda s: (p >= s) & (p < s + F.lit(n))),
     )
+    # NULL text: ts is NULL, so clean_text and n_removed are NULL in
+    # both engines (size() would report -1 under non-ANSI Spark —
+    # DETERMINISM.md rule 35).
+    nsize = lambda c: F.when(c.isNotNull(), F.size(c))  # noqa: E731
     return (
         toks.join(flagged, "doc_id", "left")
         .select(
             "doc_id",
             F.array_join(kept, " ").alias("clean_text"),
-            (F.size("ts") - F.size(kept)).cast("long").alias("n_removed"),
+            (nsize(F.col("ts")) - nsize(kept)).cast("long").alias("n_removed"),
         )
     )
 
@@ -994,7 +998,9 @@ keptagg AS (
          COUNT(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
-SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+SELECT t.doc_id,
+       CASE WHEN t.ts IS NOT NULL
+            THEN COALESCE(k.clean_text, '') END AS clean_text,
        CAST(len(t.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
 FROM toks t LEFT JOIN keptagg k USING (doc_id)
 """

@@ -71,14 +71,20 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     would return)."""
     for pdf in batches:
         payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
+        # NULL payload (a missing asset) → NULL features, matching the
+        # oracle's octet_length(NULL)/md5(NULL); nullable Int64 keeps
+        # the NA through the arithmetic and Arrow hands Spark a long
+        # column with nulls.
+        n_bytes = payloads.map(len, na_action="ignore").astype("Int64")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int64"),
-                "content_hash": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                "fake_width": (n_bytes % 640).astype("int64"),
-                "fake_height": ((n_bytes * 7) % 480).astype("int64"),
+                "n_bytes": n_bytes,
+                "content_hash": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest(), na_action="ignore"
+                ),
+                "fake_width": n_bytes % 640,
+                "fake_height": (n_bytes * 7) % 480,
             }
         )
 
@@ -330,7 +336,12 @@ def multimodal_audio_stats(docs: DataFrame) -> DataFrame:
 # comparison over the unnested sample sequence.
 AUDIO_ORACLE = f"""
 WITH base AS (
-  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c) - 128) AS v
+  -- DuckDB's string_split('', '') is [''] (one empty chunk), but an
+  -- empty payload has ZERO samples — guard the empty doc explicitly.
+  SELECT doc_id,
+         CASE WHEN len(text) = 0 THEN []
+              ELSE list_transform(string_split(text, ''), c -> ascii(c) - 128)
+         END AS v
   FROM documents WHERE {ASCII_PRED}
 ),
 s AS (

@@ -30,6 +30,7 @@ from apd_map_reduce_spark.operators.dedup import (
     normalized_tokens,
     word_shingles,
 )
+from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -150,7 +151,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     Scale: a single narrow projection (regexp counts + integer
     comparisons), whole-stage codegen, no shuffle, prunes to
     (doc_id, text)."""
-    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    n_tokens = null_safe_size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
     n_words = F.regexp_count("text", F.lit("[A-Za-z]+")).cast("long")
     n_alpha = F.regexp_count("text", F.lit("[A-Za-z]")).cast("long")
     n_digits = F.regexp_count("text", F.lit("[0-9]")).cast("long")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.operators.dedup import normalized_tokens
 from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
@@ -48,7 +49,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     # driver compares schemas, not just values.
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_tokens"),
+        null_safe_size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_tokens"),
         F.regexp_count("text", F.lit(_WORD_RE)).cast("long").alias("n_words"),
         F.length("text").cast("long").alias("n_chars"),
         F.regexp_count("text", F.lit("[0-9]")).cast("long").alias("n_digits"),
@@ -82,6 +83,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     (deterministic). Emits the guess and the winning marker count."""
     scored = docs.select(
         "doc_id",
+        F.col("text").isNotNull().alias("_has_text"),
         *[
             _marker_count("text", ws).alias(f"score_{lang}")
             for lang, ws in LANG_MARKERS.items()
@@ -102,10 +104,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ]
     )
     best = F.element_at(F.array_sort(pairs), -1)
+    # NULL text → NULL prediction: the SQL twin's GREATEST/CASE ladder
+    # propagates NULL, while array_sort would happily rank null-score
+    # structs and invent a language for a row that has no text.
     return scored.select(
         "doc_id",
-        best["lang"].alias("pred_lang"),
-        best["score"].cast("long").alias("marker_hits"),
+        F.when(F.col("_has_text"), best["lang"]).alias("pred_lang"),
+        F.when(F.col("_has_text"), best["score"]).cast("long").alias("marker_hits"),
     )
 
 
@@ -147,6 +152,7 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     lowered = F.lower(F.col("text"))
     scored = docs.select(
         "doc_id",
+        F.col("text").isNotNull().alias("_has_text"),
         *[
             sum(
                 (F.length(lowered) - F.length(F.replace(lowered, F.lit(tri), F.lit(""))))
@@ -168,10 +174,11 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
         ]
     )
     best = F.element_at(F.array_sort(pairs), -1)
+    # NULL text → NULL prediction (same contract as lang_id).
     return scored.select(
         "doc_id",
-        best["lang"].alias("pred_lang"),
-        best["score"].cast("long").alias("trigram_hits"),
+        F.when(F.col("_has_text"), best["lang"]).alias("pred_lang"),
+        F.when(F.col("_has_text"), best["score"]).cast("long").alias("trigram_hits"),
     )
 
 
@@ -211,7 +218,7 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
     training-data budgeting."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_ws_tokens"),
+        null_safe_size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_ws_tokens"),
         F.regexp_count("text", F.lit(BPE_SPLIT_RE)).cast("long").alias("n_bpe_tokens"),
     )
 
@@ -452,13 +459,18 @@ FROM s
 
 FINGERPRINT_ORACLE = """
 WITH norm AS (
+  -- DuckDB's array_to_string over an EMPTY list is NULL; Spark's
+  -- array_join is ''. A zero-token doc's fingerprint is defined as
+  -- md5('') (the empty content), so coalesce — but only for non-null
+  -- text (NULL text stays NULL in both engines).
   SELECT doc_id,
-         array_to_string(
-           list_filter(
-             list_transform(string_split_regex(text, '\\s+'),
-                            t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
-             w -> w <> ''),
-           ' ') AS n
+         CASE WHEN text IS NOT NULL THEN COALESCE(
+           array_to_string(
+             list_filter(
+               list_transform(string_split_regex(text, '\\s+'),
+                              t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
+               w -> w <> ''),
+             ' '), '') END AS n
   FROM documents
 )
 SELECT doc_id, md5(n) AS fingerprint, length(n) AS norm_len FROM norm
