@@ -33,7 +33,10 @@ def asof_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("event_id"),
         )
     )
-    e = events.select(
+    # A NULL-ts event has no as-of position (and DuckDB's ASOF JOIN
+    # treats the NULL probe differently from the union-fill ordering) —
+    # excluded in both engines.
+    e = events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.col("ts").alias("t"),
         F.lit(None).cast("long").alias("o_orderkey"),
@@ -70,6 +73,6 @@ WITH o AS (
 )
 SELECT e.event_id, e.user_id, o.o_orderkey,
        ROUND((epoch_us(e.ts) - epoch_us(o.t)) / 86400000000.0, 6) AS days_since_order
-FROM events e
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
 ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.t
 """

@@ -22,15 +22,23 @@ OUTPUT_SCHEMA = (
 
 
 def _features(pdf: pd.DataFrame) -> pd.DataFrame:
+    # NaT sorts last (pandas default), matching the oracle's NULLS
+    # LAST; masking NaT to NaN makes its gaps NULL on both sides
+    # instead of int64-garbage (astype('int64') on NaT) — gaps are
+    # < 2^53 µs so the float64 detour is exact.
     pdf = pdf.sort_values(["ts", "event_id"])
-    ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+    ts = pd.to_datetime(pdf["ts"])
+    ts_us = (ts.astype("int64") // 1000).where(ts.notna())
     gaps = ts_us.diff().dropna()
     # value summed via exact cents (int64) — float summation order in
     # pandas is not cross-engine stable, integers are. Cents via
     # floor(x*100 + 0.5): pandas .round() is half-to-EVEN while DuckDB
     # ROUND() is half-away — a value landing exactly on .5 cents would
     # split the engines; floor(+0.5) is the same function on both sides.
-    total_cents = int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
+    # NULL values drop out, like the oracle's SUM.
+    total_cents = int(
+        np.floor(pdf["value"].dropna() * 100 + 0.5).astype("int64").sum()
+    )
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],

@@ -239,8 +239,11 @@ def markov_transitions(events: DataFrame) -> DataFrame:
     Scale: one window pass partitioned by user (bounded per-user state)
     and one |types|²-bounded aggregation. No self-join on the stream."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL-ts events have no sequence position and a NULL event_type is
+    # not a state: both excluded, here and in the oracle.
     pairs = (
-        events.select("user_id", "ts", "event_id", "event_type")
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
         .withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
     )
@@ -264,6 +267,7 @@ WITH seq AS (
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS next_type
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ),
 counts AS (
   SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions

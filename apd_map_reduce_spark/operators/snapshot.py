@@ -134,8 +134,12 @@ def scd2_history(events: DataFrame) -> DataFrame:
     Catalyst plans ONE exchange; state per user is a single row. No
     join, no collect."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = events.select("user_id", "ts", "event_id", "event_type").withColumn(
-        "prev_type", F.lag("event_type").over(w)
+    # A NULL-ts observation has no position in the validity chain —
+    # excluded in both engines (engines disagree on NULL sort order).
+    marked = (
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
     )
     changes = marked.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
@@ -157,6 +161,7 @@ WITH marked AS (
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
   FROM events
+  WHERE ts IS NOT NULL
 ),
 changes AS (
   SELECT user_id, ts, event_id, event_type FROM marked

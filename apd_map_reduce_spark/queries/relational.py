@@ -471,7 +471,9 @@ FROM orders
 def window_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")
+    # An event with NULL ts cannot be ordered: excluded explicitly,
+    # here and in the oracle (engines disagree on default NULL order).
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     return (
         e.withColumn("prev_value", F.lag("value").over(w))
@@ -486,7 +488,7 @@ def window_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_LAG_ORACLE = """
 SELECT user_id, event_id,
        value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS value_delta
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -652,6 +654,7 @@ WITH expanded AS (
                   - to_minutes(15 * k), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type
   FROM events, unnest([0, 1, 2, 3]) AS t(k)
+  WHERE ts IS NOT NULL  -- Spark's window() silently drops NULL-ts rows
 )
 SELECT window_start, event_type, COUNT(*) AS n_events
 FROM expanded GROUP BY 1, 2
@@ -787,12 +790,18 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_ORACLE = """
+-- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+-- input ('' props) where Spark's get_json_object returns NULL; the
+-- CASE makes malformed rows contribute NULL to the aggregates in both.
+WITH k AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-FROM events
-GROUP BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM k GROUP BY event_type
 """
 
 
@@ -804,7 +813,10 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     path walk — the 100 TB answer to JSON-heavy event streams. Same
     aggregation as the string-path twin so both surfaces are covered."""
     e = _t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: malformed props ('' rows) become a NULL variant
+    # instead of a task failure; the extraction then yields NULL like
+    # the string path's get_json_object.
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         e.select(F.floor(k / 10).cast("long").alias("k_decile"), "event_type")
         .groupBy("k_decile")
@@ -816,7 +828,9 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_VARIANT_ORACLE = """
-SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_decile,
+SELECT CAST(FLOOR(CASE WHEN json_valid(props)
+                       THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                  END / 10) AS BIGINT) AS k_decile,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types
 FROM events
@@ -898,7 +912,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user hash."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events")
+    # NULL-ts events cannot be sessionized (no position in the gap
+    # chain) — excluded in both engines.
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     # Microsecond-exact gap (unix_micros/epoch_us in the oracle): second-
     # granularity casts truncate differently across engines at boundaries.
@@ -926,6 +942,7 @@ WITH flagged AS (
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), with_sid AS (
   SELECT user_id, ts,
@@ -2407,6 +2424,7 @@ WITH ordered AS (
   SELECT user_id, ts, epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
   FROM events
+  WHERE ts IS NOT NULL  -- Spark's session_window drops NULL-ts rows
 ),
 flagged AS (
   SELECT user_id, ts, us,
@@ -2495,7 +2513,9 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     under equal timestamps."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events have no position in the fill order — excluded
+    # in both engines.
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     obs = F.when(F.col("event_type") == "view", F.col("value"))
     w = (
         Window.partitionBy("user_id")
@@ -2518,7 +2538,7 @@ SELECT event_id, user_id,
        last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 

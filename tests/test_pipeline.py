@@ -160,6 +160,32 @@ def test_exact_substr_spans_adjacent_blocks_merge_gap_splits(spark):
     assert doc1 == [(1, 8, x), (10, 17, y)]
 
 
+def test_exact_substr_spans_are_exactly_the_removed_regions(spark):
+    # Cross-operator invariant on real data: remove_boilerplate masks
+    # precisely the union of the maximal duplicated spans, so per doc
+    # n_removed == Σ span_tokens (and docs absent from the span
+    # relation must have n_removed == 0).
+    from apd_map_reduce_spark.operators.dedup import (
+        exact_substr_spans,
+        remove_boilerplate,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spans = {
+        r.doc_id: r.total
+        for r in exact_substr_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("total"))
+        .collect()
+    }
+    removed = {
+        r.doc_id: r.n_removed for r in remove_boilerplate(docs).collect()
+    }
+    assert spans, "fixture must contain duplicated spans"
+    for doc_id, n_removed in removed.items():
+        assert n_removed == spans.get(doc_id, 0), doc_id
+
+
 def test_remove_boilerplate_strips_only_covered_tokens(spark):
     from apd_map_reduce_spark.operators.dedup import remove_boilerplate
 
