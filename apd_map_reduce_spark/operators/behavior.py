@@ -35,9 +35,13 @@ def _features(pdf: pd.DataFrame) -> pd.DataFrame:
     # floor(x*100 + 0.5): pandas .round() is half-to-EVEN while DuckDB
     # ROUND() is half-away — a value landing exactly on .5 cents would
     # split the engines; floor(+0.5) is the same function on both sides.
-    # NULL values drop out, like the oracle's SUM.
-    total_cents = int(
-        np.floor(pdf["value"].dropna() * 100 + 0.5).astype("int64").sum()
+    # NULL values drop out, like the oracle's SUM — including the
+    # all-NULL group, where SUM is NULL, not 0.
+    vals = pdf["value"].dropna()
+    total_cents = (
+        int(np.floor(vals * 100 + 0.5).astype("int64").sum())
+        if len(vals)
+        else None
     )
     return pd.DataFrame(
         {
@@ -46,7 +50,9 @@ def _features(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_types": [pdf["event_type"].nunique()],
             "mean_gap_us": [float(gaps.sum()) / len(gaps) if len(gaps) else None],
             "max_gap_us": [int(gaps.max()) if len(gaps) else None],
-            "total_value": [total_cents / 100.0],
+            "total_value": [
+                total_cents / 100.0 if total_cents is not None else None
+            ],
         }
     )
 

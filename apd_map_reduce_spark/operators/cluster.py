@@ -30,9 +30,15 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apd_map_reduce_spark.functions.embeddings import valid_embeddings
+from apd_map_reduce_spark.functions.embeddings import (
+    valid_embeddings,
+    valid_embeddings_sql,
+)
+
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
+
+_EMB_GUARD = valid_embeddings_sql()
 
 K = 8
 DIM = 64
@@ -147,7 +153,7 @@ b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          (list_transform(list_sort([{d1_structs}]), s -> s.cid))[1] AS cid1
   FROM embeddings, cent_t
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
+  WHERE {_EMB_GUARD}
 ),
 e1 AS (
   SELECT cid1, unnest(emb) AS x, generate_subscripts(emb, 1)::BIGINT AS pos FROM b
@@ -264,7 +270,7 @@ def _pq_oracle() -> str:
     return f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
+  WHERE {_EMB_GUARD}
 ),
 a AS (SELECT vec_id, {", ".join(sels)} FROM b)
 SELECT vec_id,
@@ -413,7 +419,7 @@ def _adc_oracle() -> str:
     luts_sql = ",\n".join(luts)
     return f"""
 WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           WHERE {_EMB_GUARD}),
 a AS (SELECT vec_id, {assign_sql} FROM b),
 codes AS (SELECT vec_id AS neighbor_id, {code_cols} FROM a),
 q AS (SELECT vec_id AS query_id, emb FROM b WHERE vec_id < {ADC_QUERIES}),

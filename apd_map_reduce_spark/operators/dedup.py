@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
@@ -897,6 +898,47 @@ FROM spans GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
 """
 
 
+def _dup_window_relations(docs: DataFrame, n: int, min_df: int):
+    """Shared core of `remove_boilerplate` and `exact_substr_spans`:
+    the cached token relation, the positional n-token window relation,
+    and the duplicated-span set (df counts DISTINCT docs — a span
+    repeated within one doc counts once)."""
+    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
+    win = toks.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
+    )
+    dup = (
+        win.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("span")
+    )
+    return toks, win, dup
+
+
+def _dup_window_ctes(n: int, min_df: int) -> str:
+    """The oracle twin of `_dup_window_relations` (CTEs toks/idx/win/
+    dup), shared verbatim by both oracles."""
+    span_expr = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS i
+  FROM toks
+),
+win AS (
+  SELECT doc_id, i, {span_expr} AS span
+  FROM idx
+),
+dup AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM win)
+  GROUP BY span HAVING COUNT(*) >= {min_df}
+)"""
+
+
 def remove_boilerplate(
     docs: DataFrame, n: int = SPAN_TOKENS, min_df: int = SPAN_MIN_DF
 ) -> DataFrame:
@@ -921,21 +963,7 @@ def remove_boilerplate(
     it), and the span-df relation derives from the same window rows
     instead of re-running `boilerplate_spans`' separate
     tokenize+shingle pass."""
-    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
-    win = toks.select(
-        "doc_id",
-        F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
-    )
-    # Same semantics as boilerplate_spans: df counts DISTINCT docs per
-    # span (a span repeated within one doc counts once).
-    spans = (
-        win.select("doc_id", "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("span")
-    )
+    toks, win, spans = _dup_window_relations(docs, n, min_df)
     flagged = (
         win.join(spans, "span")
         .groupBy("doc_id")
@@ -952,34 +980,21 @@ def remove_boilerplate(
     # NULL text: ts is NULL, so clean_text and n_removed are NULL in
     # both engines (size() would report -1 under non-ANSI Spark —
     # DETERMINISM.md rule 35).
-    nsize = lambda c: F.when(c.isNotNull(), F.size(c))  # noqa: E731
     return (
         toks.join(flagged, "doc_id", "left")
         .select(
             "doc_id",
             F.array_join(kept, " ").alias("clean_text"),
-            (nsize(F.col("ts")) - nsize(kept)).cast("long").alias("n_removed"),
+            (null_safe_size(F.col("ts")) - null_safe_size(kept))
+            .cast("long")
+            .alias("n_removed"),
         )
     )
 
 
 REMOVE_BOILERPLATE_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
-idx AS (
-  SELECT doc_id, ts,
-         unnest(generate_series(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 0))) AS i
-  FROM toks
-),
-win AS (
-  SELECT doc_id, i,
-         {" || ' ' || ".join(f"ts[i+{j}]" for j in range(SPAN_TOKENS))} AS span
-  FROM idx
-),
-bspans AS (
-  SELECT span FROM (SELECT DISTINCT doc_id, span FROM win)
-  GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
-),
-flag AS (SELECT DISTINCT w.doc_id, w.i FROM win w JOIN bspans b USING (span)),
+WITH {_dup_window_ctes(SPAN_TOKENS, SPAN_MIN_DF)},
+flag AS (SELECT DISTINCT w.doc_id, w.i FROM win w JOIN dup b USING (span)),
 cov AS (
   SELECT DISTINCT doc_id, i + j AS p
   FROM flag, unnest(generate_series(0, {SPAN_TOKENS - 1})) AS t(j)
@@ -1032,19 +1047,7 @@ def exact_substr_spans(
     beyond document length), and the text reconstruction is one keyed
     join back to the cached token relation. Same shuffle inventory as
     `remove_boilerplate` plus the per-doc window."""
-    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
-    win = toks.select(
-        "doc_id",
-        F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
-    )
-    dup = (
-        win.select("doc_id", "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("span")
-    )
+    toks, win, dup = _dup_window_relations(docs, n, min_df)
     starts = win.join(dup, "span").select("doc_id", "i0")
     w = Window.partitionBy("doc_id").orderBy("i0")
     # First row: lag is null → null comparison → otherwise-branch 0.
@@ -1073,21 +1076,7 @@ def exact_substr_spans(
 
 
 EXACT_SUBSTR_SPANS_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
-idx AS (
-  SELECT doc_id, ts,
-         unnest(generate_series(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 0))) AS i
-  FROM toks
-),
-win AS (
-  SELECT doc_id, i,
-         {" || ' ' || ".join(f"ts[i+{j}]" for j in range(SPAN_TOKENS))} AS span
-  FROM idx
-),
-dup AS (
-  SELECT span FROM (SELECT DISTINCT doc_id, span FROM win)
-  GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DF}
-),
+WITH {_dup_window_ctes(SPAN_TOKENS, SPAN_MIN_DF)},
 starts AS (SELECT w.doc_id, w.i FROM win w JOIN dup USING (span)),
 flags AS (
   SELECT doc_id, i,

@@ -46,10 +46,16 @@ from apd_map_reduce_spark.operators.cooccur import (
     _bm25_oracle,
     bm25_search,
 )
-from apd_map_reduce_spark.functions.embeddings import valid_embeddings
+from apd_map_reduce_spark.functions.embeddings import (
+    valid_embeddings,
+    valid_embeddings_sql,
+)
+
 from apd_map_reduce_spark.operators.similarity import _dot, _dvec, _norm
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
+
+_EMB_GUARD = valid_embeddings_sql()
 
 RRF_K = 60  # the canonical smoothing constant from Cormack et al.
 RRF_DEPTH = 20  # depth of each input ranking
@@ -134,9 +140,9 @@ WITH bm AS (
   SELECT doc_id, rank AS bm25_rank FROM ({bm25_sql}) t
 ),
 q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id = {probe_vec_id}),
+      WHERE {_EMB_GUARD} AND vec_id = {probe_vec_id}),
 c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id <> {probe_vec_id}),
+      WHERE {_EMB_GUARD} AND vec_id <> {probe_vec_id}),
 cos AS (
   SELECT doc_id,
          ROUND(list_dot_product(q_emb, c_emb)

@@ -24,9 +24,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from apd_map_reduce_spark.functions.embeddings import valid_embeddings
+from apd_map_reduce_spark.functions.embeddings import (
+    valid_embeddings,
+    valid_embeddings_sql,
+)
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
+
+_EMB_GUARD = valid_embeddings_sql()
 
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 TOP_K = 5
@@ -78,7 +83,7 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_
 
 
 COSINE_TOPK_ORACLE = f"""
-WITH vemb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+WITH vemb AS (SELECT * FROM embeddings WHERE {_EMB_GUARD}),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb FROM vemb WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb FROM vemb),
 scored AS (
@@ -171,7 +176,7 @@ b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          {bucket_sql} AS bucket
   FROM embeddings, plane_t
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
+  WHERE {_EMB_GUARD}
 ),
 q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, bucket AS c_bucket FROM b),
@@ -240,7 +245,7 @@ WITH plane_t AS (SELECT [{plane_literals}]::DOUBLE[][] AS planes),
 b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket_sql} AS bucket
   FROM embeddings, plane_t
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
+  WHERE {_EMB_GUARD}
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_dot_product(a.emb, c.emb)
@@ -380,7 +385,7 @@ b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          list_transform(list_sort([{dist_structs}]), s -> s.cid) AS ranking
   FROM embeddings, cent_t
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
+  WHERE {_EMB_GUARD}
 ),
 c AS (SELECT vec_id AS neighbor_id, emb AS c_emb, ranking[1] AS list_id FROM b),
 q AS (
@@ -535,7 +540,7 @@ def _semdedup_oracle(threshold: float = 0.3) -> str:
     a WHERE clause, so the oracle needs no literal centroid blob and
     tracks any corpus size."""
     return f"""
-WITH vemb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+WITH vemb AS (SELECT * FROM embeddings WHERE {_EMB_GUARD}),
 n_t AS (SELECT COUNT(*) AS n FROM vemb),
 k_t AS (
   SELECT LEAST({SEMDEDUP_MAX_CLUSTERS},

@@ -27,9 +27,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from apd_map_reduce_spark.functions.embeddings import valid_embeddings
+from apd_map_reduce_spark.functions.embeddings import (
+    valid_embeddings,
+    valid_embeddings_sql,
+)
+
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
+
+_EMB_GUARD = valid_embeddings_sql()
 
 # Floor of the quantization scale's magnitude: an all-zero vector would
 # make scale 0 and 0/0 = NaN; 1e-12 maps it to all-zero int8s instead.
@@ -67,7 +73,7 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
 
 QUANTIZE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS arr FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           WHERE {_EMB_GUARD}),
 s AS (
   SELECT vec_id, embedding, arr,
          greatest(list_max(list_transform(arr, x -> abs(x))), {MIN_SCALE}) / 127.0 AS scale
@@ -104,12 +110,12 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-CENTROIDS_ORACLE = """
+CENTROIDS_ORACLE = f"""
 WITH e AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS x,
          generate_subscripts(embedding, 1)::BIGINT AS pos
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
+  WHERE {_EMB_GUARD}
 )
 SELECT label, pos, COUNT(*)::BIGINT AS n_vecs,
        SUM(floor(x * 1e6)::BIGINT)::BIGINT AS sum_micro
@@ -179,7 +185,7 @@ def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K)
 
 INT8_TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           WHERE {_EMB_GUARD}),
 s AS (
   SELECT vec_id, arr,
          greatest(list_max(list_transform(arr, x -> abs(x))), {MIN_SCALE}) / 127.0 AS scale
@@ -241,11 +247,11 @@ def embedding_norms_arrow(emb: DataFrame) -> DataFrame:
     return emb.mapInArrow(batches, "vec_id long, n_dims int, l2_norm double")
 
 
-NORMS_ORACLE = """
+NORMS_ORACLE = f"""
 SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
        ROUND(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(embedding) = 64
+WHERE {_EMB_GUARD}
 """
 
 

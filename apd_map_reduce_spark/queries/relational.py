@@ -796,7 +796,7 @@ EVENTS_JSON_ORACLE = """
 WITH k AS (
   SELECT event_type,
          CASE WHEN json_valid(props)
-              THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
   FROM events
 )
 SELECT event_type, COUNT(*) AS n_events,
@@ -829,7 +829,7 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_VARIANT_ORACLE = """
 SELECT CAST(FLOOR(CASE WHEN json_valid(props)
-                       THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                   END / 10) AS BIGINT) AS k_decile,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types

@@ -16,7 +16,9 @@ Planted rows (ids far above the real range so goldens are unaffected):
   embeddings: NULL embedding, empty array, all-zero vector (norm 0 —
               divides), NULL label
   events:     NULL event_type, NULL value, NULL props, empty-string
-              props ('' is not valid JSON), NULL ts
+              props ('' is not valid JSON), NULL ts; a user whose
+              values are ALL NULL (SUM must be NULL, not 0) and a
+              valid-JSON row whose k is not an integer (TRY_CAST)
 
 Writes <repo>/.scale/sf0.001-degenerate/*.parquet (gitignored, like
 the sf1 decade). Usage: python scripts/gen_degenerate_tables.py
@@ -94,7 +96,9 @@ def main() -> None:
                     (900002, TIMESTAMP '2024-01-02 03:04:06', 8, 'click', NULL, '{{"k": 2}}'),
                     (900003, TIMESTAMP '2024-01-02 03:04:07', 8, 'view',  2.5,  NULL),
                     (900004, TIMESTAMP '2024-01-02 03:04:08', 8, 'view',  3.5,  ''),
-                    (900005, NULL,                            8, 'click', 4.5,  '{{"k": 3}}')
+                    (900005, NULL,                            8, 'click', 4.5,  '{{"k": 3}}'),
+                    (900006, TIMESTAMP '2024-01-02 03:05:00', 999, 'click', NULL, '{{"k": "abc"}}'),
+                    (900007, TIMESTAMP '2024-01-02 03:05:01', 999, 'view',  NULL, '{{"k": 5}}')
                   ) AS v(event_id, ts, user_id, event_type, value, props)
                 ) TO '{dst}' (FORMAT PARQUET)
                 """

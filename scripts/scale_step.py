@@ -72,7 +72,14 @@ def main() -> None:
     only: list[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("--only requires a comma-separated query list", file=sys.stderr)
+            return
         only = args[i + 1].split(",")
+        unknown = [q for q in only if q not in QUERY_INDEX]
+        if unknown:
+            print(f"unknown queries: {unknown}; valid: {sorted(QUERY_INDEX)}", file=sys.stderr)
+            return
         del args[i : i + 2]
     out_path = args[0] if args else None
 

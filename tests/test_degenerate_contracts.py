@@ -146,6 +146,20 @@ def test_behavior_features_survive_nat_and_nan(spark):
     assert abs(r.total_value - 3.75) < 1e-9  # NULL value skipped
 
 
+def test_behavior_total_value_null_when_all_values_null(spark):
+    # SUM over an all-NULL group is NULL, not 0 — the oracle's SUM
+    # semantics; an empty dropna() must not collapse to 0.0.
+    from apd_map_reduce_spark.operators.behavior import user_behavior_features
+
+    t0 = datetime.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(1, t0, 9, "a", None, "{}"), (2, t0, 9, "b", None, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = user_behavior_features(e).collect()[0]
+    assert r.total_value is None
+
+
 def test_fingerprint_contract_null_vs_empty(spark):
     from apd_map_reduce_spark.operators.textstats import doc_fingerprint
 
