@@ -515,6 +515,17 @@ def minhash_lsh_pairs(
     sh = doc_shingle_hashes(rep_docs).cache()
     sig = minhash_signatures(rep_docs, sh=sh, n_perm=bands * rows)
     band_rel = band_relation(sig, bands=bands, rows=rows)
+    # (Measured dead end: candidate generation via ONE groupBy on the
+    # band key — collect_list(doc_id), then a streamed
+    # explode×explode pair expansion — halves the shuffle (the
+    # self-join shuffles the 24·N-row relation on both sides). A
+    # quiet-box interleaved A/B at sf0.1 showed 3.5/3.9 s min/median
+    # vs 4.3/4.9 for this self-join, but the verdict did NOT reproduce
+    # under load at sf0.1 (5.1/5.5 vs 4.6/5.3) or sf1 (16.7/19.5 vs
+    # 15.7/19.2) — the gap is inside this box's noise band. The
+    # self-join stays: identical candidate set, and a hot band key is
+    # split by AQE skew handling, where the grouped variant pins each
+    # colliding group's id array to one task.)
     a = band_rel.alias("a")
     b = band_rel.alias("b")
     candidates = (
