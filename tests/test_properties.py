@@ -368,6 +368,37 @@ def test_temperature_rates_are_sqrt_proportional(spark):
     assert all(r.sample_rate > 0 for r in out)
 
 
+def test_session3_ops_partition_sweep(spark):
+    """Partition-count invariance for the third-session additions:
+    ExactSubstr islands (per-doc window + keyed joins), ADC search
+    (broadcast LUT joins + two-stage ranking windows), and BPE merge
+    pairs (global ranking window over the ≤676-row pair relation)."""
+    from apd_map_reduce_spark.operators.cluster import pq_adc_topk
+    from apd_map_reduce_spark.operators.dedup import exact_substr_spans
+    from apd_map_reduce_spark.operators.textstats import bpe_merge_pairs
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 200")
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter("vec_id < 200")
+    base = None
+    for n in ("1", "5", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            got = (
+                sorted(tuple(r) for r in exact_substr_spans(docs).collect()),
+                sorted(tuple(r) for r in pq_adc_topk(emb).collect()),
+                sorted(tuple(r) for r in bpe_merge_pairs(docs).collect()),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+        if base is None:
+            base = got
+            assert all(len(g) > 0 for g in got), "fixture must be non-trivial"
+        assert got == base, f"diverged at shuffle.partitions={n}"
+
+
 def test_retrieval_and_udtf_partition_sweep(spark):
     """Partition-count invariance for the hybrid-RRF fusion and the
     UDTF chunker (whose LATERAL join must not leak parallelism into
