@@ -65,6 +65,39 @@ def test_streaming_ingest_flags_cross_batch_near_dup(spark, tmp_path, two_batch_
     assert bands.count() == 4 * LSH_BANDS  # LSH_BANDS rows per doc
 
 
+def test_streaming_ingest_tolerates_degenerate_docs(spark, tmp_path):
+    """NULL-text and sub-shingle docs must flow through the screen
+    without crashing a micro-batch: they produce zero shingles, so
+    they are admitted silently (no signature, no band rows, never
+    flagged) while a real near-dup in the same batches still matches."""
+    d = tmp_path / "docs_in"
+    first = spark.createDataFrame([(1, BASE), (2, None), (3, "ab")], DOCS_SCHEMA)
+    first.coalesce(1).write.mode("append").parquet(str(d))
+    second = spark.createDataFrame([(10, NEAR), (11, None)], DOCS_SCHEMA)
+    second.coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    index = str(tmp_path / "lsh_index")
+    matches = str(tmp_path / "matches")
+    q = neardup_ingest_stream(
+        stream, index, matches, checkpoint=str(tmp_path / "ckpt"), threshold=0.2
+    )
+    q.awaitTermination()
+
+    got = {
+        frozenset((r.batch_doc, r.corpus_doc))
+        for r in read_matches(spark, matches).collect()
+    }
+    assert got == {frozenset((10, 1))}, "real near-dup must still match"
+    bands = spark.read.parquet(os.path.join(index, "bands"))
+    indexed = {r.doc_id for r in bands.select("doc_id").distinct().collect()}
+    assert indexed == {1, 10}, "zero-shingle docs must not enter the band index"
+
+
 def test_streaming_ingest_matches_batch_twin(spark, tmp_path, two_batch_dirs):
     """Whatever the stream flags must equal the batch-twin screen of
     'later file vs earlier file' (pair orientation normalized)."""
