@@ -39,6 +39,7 @@ def build_clean_shards(
     from apd_map_reduce_spark.operators.curation import corpus_source_profile
     from apd_map_reduce_spark.operators.dedup import remove_boilerplate
     from apd_map_reduce_spark.operators.textstats import quality_score
+    from apd_map_reduce_spark.plans.observe import observed
     from apd_map_reduce_spark.sinks import write_jsonl_shards
     from apd_map_reduce_spark.sources.tables import load_table
 
@@ -63,6 +64,12 @@ def build_clean_shards(
         docs.select("doc_id")
         .join(members, "doc_id", "left_anti")
         .unionByName(keep)
+    )
+    # Gate accounting rides the final shard write (plans/observe.py):
+    # a .count() per gate would re-run the whole upstream DAG per
+    # metric at corpus scale.
+    survivors, dedup_obs = observed(
+        survivors, "dedup_gate", n_docs=F.count(F.lit(1))
     )
 
     # 3. Strip cross-document boilerplate spans — computed over the
@@ -101,9 +108,13 @@ def build_clean_shards(
         .select("doc_id")
     )
     final = final.join(drop_tail, "doc_id", "left_anti")
+    final, quality_obs = observed(
+        final, "quality_gate", n_docs=F.count(F.lit(1))
+    )
     # three consumers downstream (rates derivation, the mixed-shard
     # write, the pre_mix stat) — cache so the dedup/clean/quality
-    # chain above executes once, not per consumer
+    # chain above executes once, not per consumer; the observation
+    # fires once, when the cache first materializes
     final = final.cache()
 
     # 7. Temperature mixture (alpha=0.5): compute per-source sampling
@@ -150,14 +161,17 @@ def build_clean_shards(
         .select("doc_id", "text")
     )
 
-    # 8. Deliver as deterministic JSONL shards.
+    # 8. Deliver as deterministic JSONL shards. The two gate
+    # observations materialize as side effects of this one action —
+    # zero additional scans (published stays a read-back count: an
+    # independent verification of what actually landed on disk).
     write_jsonl_shards(mixed, out_dir, n_shards=n_shards)
     n_out = spark.read.json(out_dir).count()
     return {
         "raw_docs": docs.count(),
         "profile_rows": profile_rows,
-        "survivors": survivors.count(),
-        "pre_mix": final.count(),
+        "survivors": dedup_obs.get["n_docs"],
+        "pre_mix": quality_obs.get["n_docs"],
         "published": n_out,
         "out_dir": out_dir,
     }

@@ -251,6 +251,30 @@ def test_example_pipeline_end_to_end(spark, tmp_path):
     assert {"doc_id", "text", "shard"} <= set(back.columns)
 
 
+def test_observed_metrics_ride_one_action(spark):
+    # plans/observe.py: metrics attached to two plan nodes materialize
+    # from the SINGLE downstream action and equal recomputed values.
+    from apd_map_reduce_spark.plans.observe import observed
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    gated = docs.filter(F.col("n_chars") >= 100)
+    gated, gate_obs = observed(
+        gated,
+        "gate",
+        n_docs=F.count(F.lit(1)),
+        total_chars=F.sum("n_chars"),
+    )
+    shrunk = gated.select("doc_id")
+    shrunk, out_obs = observed(shrunk, "out", n=F.count(F.lit(1)))
+    shrunk.write.format("noop").mode("overwrite").save()
+
+    expected = docs.filter(F.col("n_chars") >= 100)
+    exp_n = expected.count()
+    exp_chars = expected.agg(F.sum("n_chars")).first()[0]
+    assert gate_obs.get == {"n_docs": exp_n, "total_chars": exp_chars}
+    assert out_obs.get == {"n": exp_n}
+
+
 def test_containment_catches_quote_jaccard_misses(spark):
     """A short doc quoted wholesale inside a much longer one: the
     asymmetric containment must flag it near 1.0 while symmetric
