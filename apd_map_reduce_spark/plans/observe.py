@@ -42,3 +42,14 @@ def observed(
         df.observe(obs, *[c.alias(n) for n, c in metrics.items()]),
         obs,
     )
+
+
+def observed_stream(df: DataFrame, name: str, **metrics: Column) -> DataFrame:
+    """The streaming flavor: `Observation` objects reject streaming
+    Datasets (one value can't represent many micro-batches), so the
+    string-named `observe` is used and the per-trigger values surface
+    in each StreamingQueryProgress under ``observedMetrics[name]``
+    (read ``query.lastProgress`` / ``recentProgress`` or a
+    StreamingQueryListener). Same zero-extra-pass property: metrics
+    ride the micro-batch the sink already executes."""
+    return df.observe(name, *[c.alias(n) for n, c in metrics.items()])

@@ -50,6 +50,43 @@ def test_hourly_counts_stream_matches_batch(spark, events_stream_dir):
     assert got == expected
 
 
+def test_streaming_observed_metrics(spark, events_stream_dir):
+    """plans/observe.observed works on a STREAM too: per-trigger
+    metrics surface in StreamingQueryProgress.observedMetrics — the
+    zero-extra-pass accounting story for live ingestion (no second
+    aggregation query, no foreachBatch counting)."""
+    from apd_map_reduce_spark.plans.observe import observed_stream
+
+    schema = events_stream_schema(
+        spark, os.path.join(events_stream_dir, "events.parquet")
+    )
+    stream = read_events_stream(spark, events_stream_dir, schema)
+    stream = observed_stream(
+        stream,
+        "ingest",
+        n_events=F.count(F.lit(1)),
+        n_errors=F.count(F.when(F.col("event_type") == "error", 1)),
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(events_stream_dir, "obs_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = None
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("ingest") if p["observedMetrics"] else None
+        if m:
+            got = (m["n_events"], m["n_errors"])
+    batch = spark.read.parquet(os.path.join(events_stream_dir, "events.parquet"))
+    exp = (
+        batch.count(),
+        batch.filter(F.col("event_type") == "error").count(),
+    )
+    assert got == exp
+
+
 def test_stateful_sessionize_stream(spark, events_stream_dir):
     """applyInPandasWithState emits sessions; with a single availableNow
     batch only sessions closed WITHIN the batch appear (the last session
