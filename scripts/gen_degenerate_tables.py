@@ -20,6 +20,11 @@ Planted rows (ids far above the real range so goldens are unaffected):
               values are ALL NULL (SUM must be NULL, not 0) and a
               valid-JSON row whose k is not an integer (TRY_CAST)
 
+The star-schema tables are copied UNCHANGED: TPC-H columns are NOT
+NULL by spec, so planting nulls there would test a contract the
+warehouse schema already excludes — the garbage-bearing tables in a
+real pipeline are the ingested ones (documents/events/embeddings).
+
 Writes <repo>/.scale/sf0.001-degenerate/*.parquet (gitignored, like
 the sf1 decade). Usage: python scripts/gen_degenerate_tables.py
 """
