@@ -357,6 +357,116 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {JACCARD_
 """
 
 
+# --- idf-weighted cosine (sparse-vector near-dup) ----------------------------
+
+WEIGHTED_COSINE_THRESHOLD = 0.5
+
+
+def weighted_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = WEIGHTED_COSINE_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Sparse-vector near-dup: cosine similarity over idf-weighted
+    shingle sets. The weighted sibling of `ngram_jaccard_pairs` — a
+    pair whose overlap consists of corpus-common shingles (boilerplate
+    that survives the hard `max_df` cut) scores LOW, while the same
+    raw overlap on rare shingles scores high. Set-based Jaccard cannot
+    make that distinction; this is the standard idf-weighted variant
+    (each doc's vector has weight idf(sh) on its distinct shingles, so
+    cos(A,B) = Σ_{A∩B} idf² / √(Σ_A idf²)·√(Σ_B idf²)).
+
+    Determinism (rules in queries/base.py): idf = round(ln((N+1)/
+    (df+1)), 6) — integer inputs, one ln, one round; per-shingle
+    idf² = round(idf·idf, 6) cast DECIMAL(18,6), so the three sums
+    (pair dot product + both norms) run in the exact decimal domain
+    (order-free). The final cosine is one double division over one
+    correctly-rounded sqrt of a product of two deterministic doubles,
+    then round-6 — every step engine-identical.
+
+    Scale shape = ngram_jaccard_pairs: the idf relation is keyed by
+    `sh` — the SAME key the self-join shuffles on, so the weight join
+    rides the existing exchange (no broadcast of a data-sized dim; at
+    100 TB the distinct-shingle relation is far too big to broadcast).
+    The stop-shingle guard (df > max_df dropped) bounds per-key
+    fan-out exactly as in the Jaccard path; only the 1-row doc-count
+    scalar is broadcast. Raw shingles cached (df agg + weight join
+    consumers), weighted relation cached (norms + both self-join
+    sides) — the `_shingle_pair_overlap` pattern."""
+    raw = doc_shingle_hashes(docs).cache()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    weights = (
+        raw.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select("sh", F.round(idf * idf, 6).cast("decimal(18,6)").alias("w2"))
+    )
+    wsh = raw.join(weights, "sh").cache()
+    norms = wsh.groupBy("doc_id").agg(F.sum("w2").alias("s"))
+    a = wsh.alias("a")
+    b = wsh.alias("b")
+    pair = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w2")).alias("s_ab"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    cosine = F.round(
+        F.col("s_ab").cast("double")
+        / F.sqrt(F.col("s_a").cast("double") * F.col("s_b").cast("double")),
+        6,
+    )
+    return (
+        pair.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+_IDF2_SQL = (
+    f"CAST(ROUND(ROUND(ln((nd.n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6)"
+    f" * ROUND(ln((nd.n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6), 6)"
+    f" AS DECIMAL(18,6))"
+)
+
+WEIGHTED_COSINE_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT sh, {_IDF2_SQL} AS w2
+  FROM (SELECT sh, COUNT(*) AS df FROM shh GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF})
+  CROSS JOIN nd
+),
+wsh AS (SELECT doc_id, shh.sh AS sh, w2 FROM shh JOIN w ON shh.sh = w.sh),
+norms AS (SELECT doc_id, SUM(w2) AS s FROM wsh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w2) AS s_ab
+  FROM wsh a JOIN wsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(s_ab AS DOUBLE)
+               / sqrt(CAST(na.s AS DOUBLE) * CAST(nb.s AS DOUBLE)), 6) AS cosine
+  FROM pair
+  JOIN norms na ON pair.doc_a = na.doc_id
+  JOIN norms nb ON pair.doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b, cosine FROM cos WHERE cosine >= {WEIGHTED_COSINE_THRESHOLD}
+"""
+
+
 # --- MinHash + LSH ------------------------------------------------------------
 
 # Universal-hash family for the MinHash permutations: h_i(x) =
@@ -1296,6 +1406,11 @@ DEDUP_QUERIES = [
         "dedup_containment",
         lambda s, d: containment_pairs(_docs(s, d)),
         CONTAINMENT_ORACLE,
+    ),
+    QueryDef(
+        "dedup_weighted_cosine",
+        lambda s, d: weighted_cosine_pairs(_docs(s, d)),
+        WEIGHTED_COSINE_ORACLE,
     ),
     QueryDef(
         "dedup_minhash_lsh",

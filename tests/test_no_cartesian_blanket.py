@@ -23,6 +23,7 @@ SCALAR_BROADCAST_OK = {
     "q22_idle_rich_customers",     # TPC-H q22 scalar avg subquery (1 row)
     "text_cooccurrence_pmi",       # corpus totals (2x 1 row)
     "text_tfidf_top_terms",        # doc count (1 row)
+    "dedup_weighted_cosine",       # doc count for idf (1 row)
     "text_bm25_search",            # (n_docs, total_tokens) scalars (1 row)
     "text_bm25_multi_search",      # same (n_docs, total_tokens) scalar (1 row)
     "text_dsir_weights",           # (n_raw, n_tgt) corpus totals (1 row)

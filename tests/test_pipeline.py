@@ -315,3 +315,55 @@ def test_containment_catches_quote_jaccard_misses(spark):
         f"symmetric Jaccard at {JACCARD_THRESHOLD} must miss the "
         "small-in-large case containment is for"
     )
+
+
+def test_weighted_cosine_downweights_boilerplate(spark):
+    """Two pairs with IDENTICAL raw shingle overlap (24 shared
+    shingles, ~10 unique words each side): one pair shares a
+    boilerplate block that 22 of 26 corpus docs carry (df=22 — low
+    enough to survive the hard MAX_SHINGLE_DF cut, so set-based
+    Jaccard counts it at full weight), the other shares a block found
+    ONLY in that pair (df=2). Set Jaccard scores both pairs ~0.55 and
+    flags both; idf-weighted cosine must keep the rare-overlap pair
+    (idf² ≈ 4.5 per shared shingle ⇒ cos ≈ 0.63) and drop the
+    boilerplate pair (idf = ln(25/23) ⇒ cos ≈ 0.003). An exact-dup
+    pair over its own private vocabulary must score exactly 1.0
+    (s_ab = s_a = s_b in the exact decimal domain)."""
+    from apd_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        weighted_cosine_pairs,
+    )
+
+    def w(stem, i):
+        return stem + "".join(chr(ord("a") + int(c)) for c in str(i))
+
+    boiler = " ".join(w("boiler", i) for i in range(26))
+    rare = " ".join(w("rare", i) for i in range(26))
+    uniq = lambda stem: " ".join(w(stem, i) for i in range(10))  # noqa: E731
+    dup_text = " ".join(w("dupword", i) for i in range(30))
+    rows = [
+        # background: 20 docs all carrying the boilerplate block
+        *[
+            (100 + i, f"{boiler} {uniq(w('bg', i))}", "en", "srcA", 0)
+            for i in range(20)
+        ],
+        (1, f"{boiler} {uniq('ponly')}", "en", "srcA", 0),  # boilerplate pair
+        (2, f"{boiler} {uniq('qonly')}", "en", "srcA", 0),
+        (3, f"{rare} {uniq('xonly')}", "en", "srcA", 0),    # rare-block pair
+        (4, f"{rare} {uniq('yonly')}", "en", "srcA", 0),
+        (5, dup_text, "en", "srcA", 0),                     # exact dup pair
+        (6, dup_text, "en", "srcA", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    cos = {(r.doc_a, r.doc_b): r.cosine for r in weighted_cosine_pairs(docs).collect()}
+    assert (3, 4) in cos and cos[(3, 4)] >= 0.5, f"rare-overlap pair lost: {cos}"
+    assert (5, 6) in cos and cos[(5, 6)] == 1.0, "exact dup must score round-6 1.0"
+    assert (1, 2) not in cos, "boilerplate-only overlap must fall below threshold"
+    assert all(a not in (1, 2) or b not in (1, 2) for a, b in cos)
+    jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) in jac and (3, 4) in jac, (
+        "set-based Jaccard sees both pairs identically — the contrast "
+        "this operator exists for"
+    )
