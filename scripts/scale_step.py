@@ -61,6 +61,10 @@ QUERIES = [
     "dedup_exact_substr_spans",
     "ann_pq_adc_topk",
     "text_bpe_merge_pairs",
+    # fourth-session addition: idf-weighted cosine — same shuffle
+    # inventory as dedup_ngram_jaccard plus the sh-keyed weight join
+    # (expect the two to track decade-for-decade)
+    "dedup_weighted_cosine",
 ]
 PASSES = 3
 
