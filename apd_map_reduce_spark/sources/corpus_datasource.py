@@ -199,6 +199,12 @@ class CorpusStreamReader(DataSourceStreamReader):
         from apd_map_reduce_spark.sources.manifest import parse_manifest
 
         available = len(parse_manifest(self._manifest_path))
+        # Monotonicity clamp: a non-atomic manifest rewrite can expose
+        # a truncated read (parse_manifest silently returns fewer
+        # entries than the declared N mid-write); never hand the engine
+        # an offset BELOW one already returned/planned by this reader —
+        # the engine would rewind ranges and replay entries.
+        available = max(available, self._planned or 0)
         if self._max_files is not None and self._planned is not None:
             available = min(available, self._planned + self._max_files)
         self._planned = max(self._planned or 0, available)

@@ -16,7 +16,8 @@ The index is two parquet relations under `index_path`:
     bands/     (doc_id, band, band_hash) — for candidate generation
       (band_hash = STRUCT of the band's minhash values since the
       digest-free band keys change; indexes persisted by the older
-      md5-string format must be rebuilt — the schemas don't union)
+      md5-string format are REJECTED at startup with a rebuild-required
+      error — see _check_index_format)
 Exactly what a production ingest keeps hot: O(index docs × LSH_BANDS)
 band rows and the shingle sets — never the documents themselves.
 
@@ -63,6 +64,26 @@ def _try_read_parquet(spark, path: str) -> DataFrame | None:
         return None
 
 
+def _check_index_format(cband: DataFrame, band_dir: str) -> None:
+    """Fail FAST and clearly on an index persisted by the retired
+    md5-string band_hash format: the directory carries no version
+    marker, so a resumed ingest would append the new struct-typed rows
+    and only die later at read/join time with a confusing parquet
+    schema-merge error — after polluting the index."""
+    from pyspark.sql.types import StructType
+
+    field = {f.name: f for f in cband.schema.fields}.get("band_hash")
+    if field is None or not isinstance(field.dataType, StructType):
+        raise ValueError(
+            f"LSH index at {band_dir} has band_hash type "
+            f"{None if field is None else field.dataType.simpleString()}, "
+            "but this version keys bands by a STRUCT of minhash values "
+            "(the md5-string format was retired). The index format "
+            "changed — rebuild it by re-ingesting the corpus into a "
+            "fresh index_path."
+        )
+
+
 def _screen_and_index(index_path: str, matches_path: str, threshold: float):
     shingle_dir = os.path.join(index_path, "shingles")
     band_dir = os.path.join(index_path, "bands")
@@ -71,6 +92,8 @@ def _screen_and_index(index_path: str, matches_path: str, threshold: float):
         spark = batch_df.sparkSession
         cband = _try_read_parquet(spark, band_dir)
         csh = _try_read_parquet(spark, shingle_dir)
+        if cband is not None:
+            _check_index_format(cband, band_dir)
 
         # Skip re-arrivals of already-indexed doc_ids (see module
         # docstring) BEFORE any shingling work.

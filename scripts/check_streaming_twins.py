@@ -391,8 +391,18 @@ def main() -> int:
 
     register_corpus_source(spark)
     grow_manifest = os.path.join(tmp, "manifest_grow.txt")
-    with open(grow_manifest, "w", encoding="utf-8") as fh:
-        fh.write(f"{len(paths) // 2}\n" + "\n".join(paths[: len(paths) // 2]) + "\n")
+
+    def _write_manifest_atomic(n: int) -> None:
+        # The started query polls latestOffset concurrently; a plain
+        # open(..., 'w') exposes a truncated manifest mid-write. Write
+        # to a temp file in the same directory and os.replace() so
+        # readers always see a complete manifest.
+        tmp_manifest = grow_manifest + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
+            fh.write(f"{n}\n" + "\n".join(paths[:n]) + "\n")
+        os.replace(tmp_manifest, grow_manifest)
+
+    _write_manifest_atomic(len(paths) // 2)
     q = (
         ids_csv(
             incremental_inverted_index(
@@ -407,8 +417,7 @@ def main() -> int:
         .start()
     )
     q.processAllAvailable()
-    with open(grow_manifest, "w", encoding="utf-8") as fh:
-        fh.write(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+    _write_manifest_atomic(len(paths))
     q.processAllAvailable()
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     q.stop()

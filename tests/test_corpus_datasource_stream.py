@@ -13,6 +13,16 @@ from apd_map_reduce_spark.sources.manifest import read_corpus, read_manifest
 from apd_map_reduce_spark.streaming.invindex import incremental_inverted_index
 
 
+def _grow(manifest, n, paths):
+    """Atomically rewrite the manifest to its first `n` paths: a
+    started query polls latestOffset concurrently, so a plain
+    write_text could expose a truncated manifest mid-write (flake).
+    Same-directory temp + os.replace keeps every read complete."""
+    tmp = manifest.with_suffix(".tmp")
+    tmp.write_text(f"{n}\n" + "\n".join(paths[:n]) + "\n")
+    os.replace(tmp, manifest)
+
+
 def _stream(spark, manifest_path, **options):
     register_corpus_source(spark)
     reader = spark.readStream.format("corpus")
@@ -39,7 +49,7 @@ def test_stream_drains_manifest_exactly_once(spark, small_corpus_dir, tmp_path):
     )
     try:
         q.processAllAvailable()  # batch 1 (unthrottled by protocol): 1 file
-        manifest.write_text("3\n" + "\n".join(paths) + "\n")
+        _grow(manifest, 3, paths)
         q.processAllAvailable()  # throttled from here: 1 file per batch
         got = sorted(map(tuple, spark.table("corpus_ds_rows").collect()))
         want = sorted(
@@ -77,7 +87,7 @@ def test_stream_picks_up_appended_files(spark, tmp_path):
         q.processAllAvailable()
         assert {r.file_id for r in spark.table("corpus_ds_growth").collect()} == {1, 2}
 
-        manifest.write_text("3\n" + "\n".join(paths) + "\n")  # append-only growth
+        _grow(manifest, 3, paths)  # append-only growth, atomic swap
         q.processAllAvailable()
         rows = sorted(map(tuple, spark.table("corpus_ds_growth").collect()))
         assert rows == [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")]
@@ -207,3 +217,32 @@ def test_incremental_index_over_custom_source(spark, small_corpus_dir):
         for r in inverted_index(read_corpus(spark, manifest)).collect()
     }
     assert got == batch
+
+
+def test_latest_offset_monotone_under_manifest_shrink(tmp_path):
+    """latestOffset never goes below a previously returned offset, even
+    if a poll lands inside an out-of-contract manifest state (e.g. a
+    non-atomic rewrite momentarily exposes a truncated file): the
+    engine would otherwise rewind offset ranges and replay entries.
+    Driver-side reader unit test — no Spark session needed."""
+    from apd_map_reduce_spark.sources.corpus_datasource import CorpusStreamReader
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text("word\n")
+        paths.append(str(p))
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("3\n" + "\n".join(paths) + "\n")
+
+    reader = CorpusStreamReader({"path": str(manifest)})
+    assert reader.latestOffset() == {"index": 3}
+    # momentary truncation (mid-rewrite read)
+    manifest.write_text("1\n" + paths[0] + "\n")
+    assert reader.latestOffset() == {"index": 3}
+    # recovery + growth resumes normally
+    manifest.write_text("3\n" + "\n".join(paths) + "\n")
+    manifest.write_text(
+        "3\n" + "\n".join(paths) + "\n"
+    )
+    assert reader.latestOffset() == {"index": 3}

@@ -5,12 +5,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from apd_map_reduce_spark.plans.quality import (
     has_pushed_filter,
     read_schema_columns,
+    unpartitioned_windows,
     uses_broadcast_join,
     wholestage_codegen_spans,
 )
+from apd_map_reduce_spark.registry import ALL_QUERIES
 from apd_map_reduce_spark.queries.relational import (
     q1_pricing_summary,
     q3_top_orders,
@@ -83,6 +87,20 @@ def test_projection_prunes_scan(spark):
     cols = read_schema_columns(df)
     assert "l_orderkey" in cols and "l_quantity" in cols
     assert "l_extendedprice" not in cols and "l_comment" not in cols
+
+
+@pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
+def test_no_unpartitioned_windows(spark, qdef):
+    """Blanket gate: NO registry query may plan a WindowExec with an
+    empty partitionSpec — the "No Partition Defined … moving all data
+    to a single partition" shape that funnels an unbounded relation
+    through one task at 100 TB. Global rankings must pre-prune
+    (ranked_topk / two-stage top-k); provably-bounded serial scans must
+    carry an explicit `bounded_const_key`."""
+    hits = unpartitioned_windows(qdef.fn(spark, SF_SMOKE))
+    assert not hits, (
+        f"{qdef.name} plans {len(hits)} unpartitioned window node(s): {hits}"
+    )
 
 
 def test_sinks_roundtrip(spark, tmp_path):

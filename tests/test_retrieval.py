@@ -67,7 +67,7 @@ def _rrf(*ranks):
 def test_planted_fusion_matches_closed_form(spark):
     docs, embs = _planted(spark)
     out = hybrid_rrf_search(
-        docs, embs, terms=("alpha", "beta"), probe_vec_id=0, depth=3, k=4
+        docs, embs, terms=("alpha", "beta"), probe_vec_id=0, depth=3, k=4, dim=2
     ).toPandas()
     rows = {
         int(r.doc_id): (
@@ -108,6 +108,30 @@ def test_registry_entry_contracts(spark):
     # descending fused score with doc_id tie-break
     scores = list(out["rrf_score"])
     assert scores == sorted(scores, reverse=True)
+
+
+def test_internal_validity_guard_matches_prefiltered_call(spark):
+    """The embedding-validity screen is applied INSIDE the operator
+    (idempotent), so a caller passing the RAW embeddings table — with
+    NULL / wrong-dim garbage rows planted — gets exactly the documented
+    oracle-twin semantics, not silently divergent arithmetic."""
+    from pyspark.sql import Row
+
+    from apd_map_reduce_spark.functions.embeddings import valid_embeddings
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    garbage = spark.createDataFrame(
+        [
+            Row(vec_id=10_000_001, embedding=None, label=0),
+            Row(vec_id=10_000_002, embedding=[1.0, 2.0], label=0),
+        ],
+        schema=embs.schema,
+    )
+    raw = embs.unionByName(garbage)
+    clean = hybrid_rrf_search(docs, valid_embeddings(embs)).toPandas()
+    dirty = hybrid_rrf_search(docs, raw).toPandas()
+    pd.testing.assert_frame_equal(clean, dirty)
 
 
 def test_probe_side_is_broadcast_not_sort_merge(spark):

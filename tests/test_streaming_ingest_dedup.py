@@ -174,3 +174,33 @@ def test_streaming_ingest_single_batch_creates_empty_matches(spark, tmp_path):
     # fresh single-batch pipeline: 'no duplicates yet' reads as 0 rows,
     # not a missing-path error
     assert read_matches(spark, matches).count() == 0
+
+
+def test_streaming_ingest_rejects_old_index_format(spark, tmp_path):
+    """An index persisted by the retired md5-string band_hash format
+    must be rejected up front with a clear rebuild-required error —
+    not appended to with mixed schemas that only fail later at
+    read/join time."""
+    import pytest
+
+    idx = tmp_path / "idx_old"
+    # plant an old-format bands relation (band_hash as md5 STRING)
+    spark.createDataFrame(
+        [(1, 0, "d41d8cd98f00b204e9800998ecf8427e")],
+        "doc_id LONG, band INT, band_hash STRING",
+    ).write.mode("append").parquet(str(idx / "bands"))
+    spark.createDataFrame(
+        [(1, 12345)], "doc_id LONG, sh LONG"
+    ).write.mode("append").parquet(str(idx / "shingles"))
+
+    d = tmp_path / "docs_old"
+    spark.createDataFrame([(2, BASE)], DOCS_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(d))
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(str(d))
+    q = neardup_ingest_stream(
+        stream, str(idx), str(tmp_path / "m_old"),
+        checkpoint=str(tmp_path / "ck_old"),
+    )
+    with pytest.raises(Exception, match="index format changed|rebuild"):
+        q.awaitTermination()
