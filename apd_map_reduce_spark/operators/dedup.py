@@ -207,10 +207,30 @@ def stop_shingle_filter(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFram
     return sh.join(F.broadcast(frequent), "sh", "left_anti")
 
 
-def _shingle_pair_overlap(docs: DataFrame, max_df: int) -> DataFrame:
+def _shingle_pair_overlap(
+    docs: DataFrame,
+    max_df: int,
+    candidates: DataFrame | None = None,
+    raw: DataFrame | None = None,
+) -> DataFrame:
     """Shared candidate machinery for the exact shingle-set measures
     (Jaccard and containment): (doc_a, doc_b, n_common, n_a, n_b) for
     every doc pair sharing at least one filtered shingle.
+
+    `candidates` (optional, columns doc_a < doc_b) restricts the
+    enumeration to a pre-screened pair relation — the 100 TB shape:
+    at corpus scale the exact measures VERIFY LSH candidates rather
+    than enumerate the sharing-pair universe (whose size is quadratic
+    in per-shingle df even under the stop-shingle guard). The overlap
+    is then computed by fanning each candidate pair out over its two
+    shingle sets (the same keyed joins `minhash_lsh_pairs` verifies
+    with) instead of the inverted-index self-join. A candidate pair
+    sharing no filtered shingle yields no row — identical to the
+    self-join's semantics, where non-sharing pairs never surface.
+
+    `raw` (optional) is a pre-computed (ideally cached)
+    `doc_shingle_hashes(docs)` relation, so a composed caller (LSH
+    screen + exact verify) shares ONE shingling pass.
 
     Two cache points, both load-bearing (measured at sf0.1, noop
     protocol): the RAW shingle relation is cached so the stop-shingle
@@ -221,16 +241,27 @@ def _shingle_pair_overlap(docs: DataFrame, max_df: int) -> DataFrame:
     cost ~1 s of ngram_jaccard's ~3.4 s). Both caches are
     MEMORY_AND_DISK, so at cluster scale they spill rather than OOM;
     the filtered cache is strictly smaller than the raw one."""
-    raw = doc_shingle_hashes(docs).cache()
+    raw = raw if raw is not None else doc_shingle_hashes(docs).cache()
     sh = stop_shingle_filter(raw, max_df=max_df).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if candidates is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        common = (
+            candidates.select("doc_a", "doc_b")
+            .join(sa, "doc_a")
+            .join(sb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return common.join(ca, "doc_a").join(cb, "doc_b")
@@ -240,6 +271,8 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
+    candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard over per-doc distinct shingle HASHES (8-byte join keys;
     hashing mirrored in the oracle, so any collision affects both
@@ -252,9 +285,15 @@ def ngram_jaccard_pairs(
     whose similarity rests solely on shingles shared by more than
     `max_df` documents (boilerplate) does not appear. The oracle mirrors
     the filter, so parity holds at any scale. Cache rationale:
-    `_shingle_pair_overlap`."""
+    `_shingle_pair_overlap`.
+
+    `candidates` (doc_a < doc_b) scopes the enumeration to a
+    pre-screened pair relation — pass LSH candidates at corpus scale
+    (`lsh_screened_jaccard_pairs` is the registered composition) so
+    the exact measure verifies instead of enumerating the universe.
+    `sh` shares a pre-computed shingle relation with the screener."""
     return (
-        _shingle_pair_overlap(docs, max_df)
+        _shingle_pair_overlap(docs, max_df, candidates=candidates, raw=sh)
         .withColumn(
             "jaccard",
             F.round(
@@ -277,6 +316,8 @@ def containment_pairs(
     threshold: float = CONTAINMENT_THRESHOLD,
     min_shingles: int = CONTAINMENT_MIN_SHINGLES,
     max_df: int = MAX_SHINGLE_DF,
+    candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment over the shingle sets: C(A→B) =
     |A∩B| / |A|. Catches sub-document duplication — a short doc quoted
@@ -297,11 +338,12 @@ def containment_pairs(
     (`_shingle_pair_overlap` — same cached shingle relation, same
     stop-shingle guard bounding per-key fan-out, same keyed
     self-join); only the final measure differs. Filtered-universe
-    semantics carry over unchanged."""
+    semantics carry over unchanged. `candidates`/`sh`: see
+    ngram_jaccard_pairs — the candidate-scoped verify path."""
     cont_a = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
     cont_b = F.round(F.col("n_common").cast("double") / F.col("n_b"), 6)
     return (
-        _shingle_pair_overlap(docs, max_df)
+        _shingle_pair_overlap(docs, max_df, candidates=candidates, raw=sh)
         .filter(F.least(F.col("n_a"), F.col("n_b")) >= min_shingles)
         .withColumn("cont_a_in_b", cont_a)
         .withColumn("cont_b_in_a", cont_b)
@@ -366,6 +408,8 @@ def weighted_cosine_pairs(
     docs: DataFrame,
     threshold: float = WEIGHTED_COSINE_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
+    candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse-vector near-dup: cosine similarity over idf-weighted
     shingle sets. The weighted sibling of `ngram_jaccard_pairs` — a
@@ -401,8 +445,13 @@ def weighted_cosine_pairs(
     fan-out exactly as in the Jaccard path; only the 1-row doc-count
     scalar is broadcast. Raw shingles cached (df agg + weight join
     consumers), weighted relation cached (norms + both self-join
-    sides) — the `_shingle_pair_overlap` pattern."""
-    raw = doc_shingle_hashes(docs).cache()
+    sides) — the `_shingle_pair_overlap` pattern.
+
+    `candidates`/`sh`: see ngram_jaccard_pairs — when a pre-screened
+    pair relation is given, the dot-product aggregation fans each
+    candidate over its two weighted shingle sets instead of
+    self-joining the inverted index."""
+    raw = sh if sh is not None else doc_shingle_hashes(docs).cache()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.round(
         F.log(
@@ -425,13 +474,24 @@ def weighted_cosine_pairs(
     )
     wsh = raw.join(weights, "sh").cache()
     norms = wsh.groupBy("doc_id").agg(F.sum("w2").alias("s"))
-    a = wsh.alias("a")
-    b = wsh.alias("b")
-    pair = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.w2")).alias("s_ab"))
-    )
+    if candidates is None:
+        a = wsh.alias("a")
+        b = wsh.alias("b")
+        pair = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.sum(F.col("a.w2")).alias("s_ab"))
+        )
+    else:
+        wa = wsh.select(F.col("doc_id").alias("doc_a"), "sh", F.col("w2").alias("w2a"))
+        wb = wsh.select(F.col("doc_id").alias("doc_b"), "sh")
+        pair = (
+            candidates.select("doc_a", "doc_b")
+            .join(wa, "doc_a")
+            .join(wb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum("w2a").alias("s_ab"))
+        )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     cosine = F.round(
@@ -793,6 +853,198 @@ exact AS (
 )
 SELECT c.doc_a, c.doc_b, e.jaccard
 FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+"""
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """UNVERIFIED banded-LSH candidate pairs (doc_a < doc_b): every
+    pair colliding in ≥1 band of the bands·rows MinHash signature.
+    This is the screen half of `minhash_lsh_pairs`, exposed so the
+    exact enumerators can verify a pre-screened relation instead of
+    enumerating the sharing-pair universe (their `candidates` param).
+    `sh` shares a pre-computed `doc_shingle_hashes` relation."""
+    sh = sh if sh is not None else doc_shingle_hashes(docs)
+    band_rel = band_relation(
+        minhash_signatures(docs, sh=sh, n_perm=bands * rows), bands=bands, rows=rows
+    )
+    a = band_rel.alias("a")
+    b = band_rel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_screened_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """The SCALE-PATH composition the exact enumerators document:
+    banded-LSH screen → exact filtered-universe Jaccard verify, with
+    exact-duplicate pre-grouping. At 100 TB the standalone
+    `ngram_jaccard_pairs` self-join enumerates every sharing pair —
+    quadratic in per-shingle df even under the stop-shingle guard;
+    this runs the SAME exact measure over only the LSH candidates
+    (recall = the banded S-curve, ≥0.96 at the default threshold 0.5),
+    so cost is proportional to true near-dup density.
+
+    Semantics: `ngram_jaccard_pairs`' measure (Jaccard over the
+    df ≤ `max_df` filtered shingle universe, with df computed over the
+    FULL corpus — not the rep subset, which keeps exact-dup
+    pre-grouping result-transparent: identical text ⇒ identical raw
+    and filtered shingle sets ⇒ identical signature, bands, and
+    jaccard) restricted to `lsh_candidate_pairs` collisions, reported
+    at `threshold`.
+
+    Scale shape mirrors `minhash_lsh_pairs`: one shingling pass feeds
+    df weights, signatures, and verification; exact dups are
+    pre-grouped so band keys stay cold under duplication skew; the
+    verify fans candidates over their two shingle sets (keyed joins);
+    rep-level pairs expand back over cluster members at the end.
+    `clusters` (optional) is a precomputed `dedup_exact(docs)`."""
+    digests = docs.select("doc_id", F.md5("text").alias("ch"))
+    if clusters is None:
+        clusters = dedup_exact(docs)
+    dup_members = digests.join(
+        clusters.filter(F.col("n_copies") > 1).select(
+            F.col("content_hash").alias("ch"),
+            F.col("keep_doc_id").alias("rep_id"),
+        ),
+        "ch",
+    ).select("doc_id", "rep_id")
+    dup_extras = dup_members.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
+
+    # ONE shingling pass over the full corpus: the stop-shingle df must
+    # count ALL copies (the plain enumerator's universe), while the
+    # screen/verify run over reps only.
+    raw_all = doc_shingle_hashes(docs).cache()
+    shf_all = stop_shingle_filter(raw_all, max_df=max_df).cache()
+    raw_rep = raw_all.join(dup_extras, "doc_id", "left_anti")
+    shf_rep = shf_all.join(dup_extras, "doc_id", "left_anti")
+
+    candidates = lsh_candidate_pairs(docs, bands=bands, rows=rows, sh=raw_rep)
+
+    counts = shf_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = shf_rep.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shf_rep.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    rep_pairs = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    # Expansion over exact-dup members — identical to minhash_lsh_pairs
+    # (see its docstring), except the intra-cluster guard requires ≥1
+    # FILTERED shingle: the measure here is over the filtered universe,
+    # so identical docs whose shingles are all stop-shingles share
+    # nothing measurable (0/0 → no row), matching the oracle.
+    ma = dup_members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = dup_members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    ea = F.coalesce(F.col("da"), F.col("doc_a"))
+    eb = F.coalesce(F.col("db"), F.col("doc_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.least(ea, eb).alias("doc_a"),
+            F.greatest(ea, eb).alias("doc_b"),
+            "jaccard",
+        )
+    )
+    shingled = shf_rep.select(F.col("doc_id").alias("s_rep")).distinct()
+    x, y = dup_members.alias("x"), dup_members.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .join(shingled, F.col("x.rep_id") == F.col("s_rep"), "left_semi")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _lsh_screened_jaccard_oracle(
+    threshold: float = NEARDUP_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
+    """No rep logic needed: exact-dup pre-grouping is result-transparent
+    (identical text ⇒ identical signature/bands/filtered set), so the
+    oracle is simply screen ∩ filtered-universe-jaccard over ALL docs."""
+    sig_aggs = ",\n    ".join(
+        f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
+        for seed, (a, b) in enumerate(_mh_params(bands * rows))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, md5({expr}) AS band_hash FROM sig".format(
+            band=band,
+            expr=" || ',' || ".join(
+                f"h{band * rows + j}::VARCHAR" for j in range(rows)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+{_PAIR_OVERLAP_CTES}
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM candidates c
+JOIN pairs ON pairs.doc_a = c.doc_a AND pairs.doc_b = c.doc_b
+JOIN cnt ca ON ca.doc_id = c.doc_a
+JOIN cnt cb ON cb.doc_id = c.doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {threshold}
 """
 
 
@@ -1431,6 +1683,14 @@ DEDUP_QUERIES = [
         lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         _minhash_oracle(),
         headline=True,
+    ),
+    # The runnable scale-path composition: LSH screen → exact
+    # filtered-universe Jaccard verify (the `candidates` param of the
+    # exact enumerators, pre-wired).
+    QueryDef(
+        "dedup_lsh_screened_jaccard",
+        lambda s, d: lsh_screened_jaccard_pairs(_docs(s, d)),
+        _lsh_screened_jaccard_oracle(),
     ),
     QueryDef(
         "simhash_signatures",

@@ -367,3 +367,63 @@ def test_weighted_cosine_downweights_boilerplate(spark):
         "set-based Jaccard sees both pairs identically — the contrast "
         "this operator exists for"
     )
+
+
+def test_candidate_scoped_enumerators_match_full_enumeration(spark):
+    """The `candidates` param of the exact pair enumerators is a pure
+    RESTRICTION: for any candidate relation C, the candidate-scoped
+    result equals the full enumeration inner-filtered to C — same
+    measures, same thresholds, no rescaling of counts or weights."""
+    from apd_map_reduce_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        weighted_cosine_pairs,
+    )
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    for fn, cols in (
+        (ngram_jaccard_pairs, ("n_common", "jaccard")),
+        (containment_pairs, ("n_common", "cont_a_in_b", "cont_b_in_a")),
+        (weighted_cosine_pairs, ("cosine",)),
+    ):
+        full = {(r.doc_a, r.doc_b): tuple(getattr(r, c) for c in cols)
+                for r in fn(docs).collect()}
+        assert full, f"{fn.__name__}: fixture produced no pairs"
+        # candidates: every other full pair + a planted non-sharing pair
+        kept = sorted(full)[::2]
+        cands = spark.createDataFrame(
+            kept + [(-1, -2)], "doc_a LONG, doc_b LONG"
+        )
+        scoped = {(r.doc_a, r.doc_b): tuple(getattr(r, c) for c in cols)
+                  for r in fn(docs, candidates=cands).collect()}
+        assert scoped == {p: full[p] for p in kept}, fn.__name__
+
+
+def test_lsh_screened_jaccard_agrees_with_minhash_on_planted_dups(spark):
+    """The composed screen+verify entry must report the planted
+    high-similarity pairs the LSH family's recall contract covers:
+    an exact-dup pair (jaccard 1.0) and a one-token-edit near-dup."""
+    from apd_map_reduce_spark.operators.dedup import (
+        lsh_screened_jaccard_pairs,
+    )
+
+    base = " ".join(f"tok{chr(ord('a') + i % 26)}{chr(ord('a') + i // 26)} " for i in range(40))
+    near = base.replace("tokba ", "tokzz ", 1)
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", 0),
+            (2, base, "en", "s", 0),
+            (3, near, "en", "s", 0),
+            (4, "wholly unrelated words entirely different content", "en", "s", 0),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in lsh_screened_jaccard_pairs(docs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and out[(1, 3)] > 0.8
+    assert (2, 3) in out and out[(2, 3)] == out[(1, 3)]
+    assert all(4 not in p for p in out)
