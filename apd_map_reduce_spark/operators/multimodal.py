@@ -45,16 +45,130 @@ def has_image_codec() -> bool:
     return _codec() is not None
 
 
+class _PnmImage:
+    """Vendored dependency-free decode result for binary PPM/PGM
+    payloads — the minimal subset of the PIL Image API the pixel
+    operators use (size/mode/load/getdata/convert/resize), so
+    `image_metadata` / `image_phash` run on REAL decoded pixels even
+    in codec-less containers. Uncompressed P5/P6 only: the point is a
+    genuine pixel path without shipping a compression codec; PNG/JPEG
+    still require PIL.
+
+    The fallback's downscale is an exact area-average (fractional
+    pixel coverage), not PIL's triangle-filter BILINEAR — a pHash of
+    the same PNM payload is deterministic within a backend but may
+    differ by a few bits across backends. Neither pixel path is an
+    oracle-registered query, so no cross-engine contract is affected."""
+
+    def __init__(self, mode: str, size: tuple[int, int], pixels: list) -> None:
+        self.mode = mode
+        self.size = size
+        self._px = pixels  # row-major; ints (L) or (r, g, b) tuples (RGB)
+
+    def load(self) -> "_PnmImage":
+        return self
+
+    def getdata(self) -> list:
+        return list(self._px)
+
+    def convert(self, mode: str) -> "_PnmImage":
+        if mode == self.mode:
+            return self
+        if mode != "L" or self.mode != "RGB":
+            raise NotImplementedError(f"convert {self.mode}->{mode}")
+        # PIL's exact ITU-R 601-2 integer luma ((x*coeff + 0x8000) >> 16)
+        px = [
+            (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+            for (r, g, b) in self._px
+        ]
+        return _PnmImage("L", self.size, px)
+
+    def resize(self, size: tuple[int, int], resample=None) -> "_PnmImage":
+        if self.mode != "L":
+            raise NotImplementedError("fallback resize supports mode L only")
+        import numpy as np
+
+        w, h = self.size
+        tw, th = size
+        a = np.asarray(self._px, dtype=np.float64).reshape(h, w)
+        # exact fractional-coverage area average per destination cell
+        ys = [i * h / th for i in range(th + 1)]
+        xs = [i * w / tw for i in range(tw + 1)]
+        out: list[int] = []
+        for ty in range(th):
+            for tx in range(tw):
+                y0, y1, x0, x1 = ys[ty], ys[ty + 1], xs[tx], xs[tx + 1]
+                iy0, iy1 = int(y0), min(int(-(-y1 // 1)), h)
+                ix0, ix1 = int(x0), min(int(-(-x1 // 1)), w)
+                wy = np.clip(
+                    np.minimum(np.arange(iy0, iy1) + 1, y1)
+                    - np.maximum(np.arange(iy0, iy1), y0),
+                    0.0,
+                    None,
+                )
+                wx = np.clip(
+                    np.minimum(np.arange(ix0, ix1) + 1, x1)
+                    - np.maximum(np.arange(ix0, ix1), x0),
+                    0.0,
+                    None,
+                )
+                cell = a[iy0:iy1, ix0:ix1]
+                v = float((cell * wy[:, None] * wx[None, :]).sum()) / (
+                    (y1 - y0) * (x1 - x0)
+                )
+                out.append(int(v + 0.5))
+        return _PnmImage("L", (tw, th), out)
+
+
+def _parse_pnm(payload: bytes) -> _PnmImage:
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale) parser: magic,
+    whitespace/#-comment-separated width height maxval, one whitespace
+    byte, then raw samples. maxval ≤ 255 only (1 byte per sample)."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("PNM maxval > 255 unsupported (2-byte samples)")
+    n = w * h
+    if magic == b"P5":
+        raster = payload[pos : pos + n]
+        if len(raster) != n:
+            raise ValueError("truncated PGM raster")
+        return _PnmImage("L", (w, h), list(raster))
+    raster = payload[pos : pos + 3 * n]
+    if len(raster) != 3 * n:
+        raise ValueError("truncated PPM raster")
+    it = iter(raster)
+    return _PnmImage("RGB", (w, h), list(zip(it, it, it)))
+
+
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to a PIL Image when a codec is present;
-    honest NotImplementedError otherwise (this container ships no
-    codec). The REAL pixel path (`image_metadata`, `image_phash`,
-    `image_phash_neardup`) builds on this; the byte-level stubs below
-    stay the oracle-checked default either way."""
+    """Decode an image payload: PIL when a codec is present; vendored
+    pure-Python PNM (binary PPM/PGM) decode otherwise, so the REAL
+    pixel path (`image_metadata`, `image_phash`, `image_phash_neardup`)
+    is exercisable on genuine decoded pixels in codec-less containers;
+    honest NotImplementedError for compressed formats without PIL. The
+    byte-level stubs below stay the oracle-checked default either way."""
     Image = _codec()
     if Image is None:
+        if payload[:2] in (b"P5", b"P6"):
+            return _parse_pnm(payload)
         raise NotImplementedError(
-            "image decode requires PIL/libvips; not available in this environment"
+            "image decode requires PIL/libvips for non-PNM formats; "
+            "not available in this environment"
         )
     import io
 
@@ -529,16 +643,22 @@ def _image_phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     a 10x6 grid (60 cells = PHASH_BITS) → bit i set iff cell i is above
     the global mean (same exact-integer cross-multiplication as the
     stub, so the signature width, banding, and verification are shared
-    verbatim). Resample filter pinned to BILINEAR for cross-version
-    determinism."""
-    from PIL import Image
+    verbatim). With PIL the resample filter is pinned to BILINEAR for
+    cross-version determinism; the codec-less PNM fallback downscales
+    by exact area average (see _PnmImage — deterministic within a
+    backend)."""
+    Image = _codec()
 
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "phash": []}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            img = decode_image(bytes(b)).convert("L").resize(
-                (PHASH_GRID_W, PHASH_GRID_H), Image.Resampling.BILINEAR
-            )
+            gray = decode_image(bytes(b)).convert("L")
+            if Image is not None and not isinstance(gray, _PnmImage):
+                img = gray.resize(
+                    (PHASH_GRID_W, PHASH_GRID_H), Image.Resampling.BILINEAR
+                )
+            else:
+                img = gray.resize((PHASH_GRID_W, PHASH_GRID_H))
             px = list(img.getdata())  # 60 grayscale cells, row-major
             total = sum(px)
             h = 0

@@ -195,3 +195,95 @@ def test_phash_signature_model(spark):
         total = sum(sums)
         expect = sum(1 << i for i, s in enumerate(sums) if s * PHASH_BITS > total)
         assert got[doc_id] == expect, doc_id
+
+
+# --- vendored PNM encoders (pure bytes, no codec) ---------------------------
+
+def _pgm_bytes(pixels, size):
+    w, h = size
+    assert len(pixels) == w * h
+    return b"P5\n# test fixture\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _ppm_bytes(pixels, size):
+    w, h = size
+    assert len(pixels) == w * h
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(
+        c for rgb in pixels for c in rgb
+    )
+
+
+def test_pnm_decode_roundtrips_real_pixels():
+    """The vendored binary-PGM/PPM decode path recovers the exact
+    pixels the fixture encoder wrote — a REAL pixel decode in-container
+    with no codec dependency."""
+    from apd_map_reduce_spark.operators.multimodal import decode_image
+
+    px = [(x * 7 + y * 31) % 256 for y in range(6) for x in range(9)]
+    img = decode_image(_pgm_bytes(px, (9, 6)))
+    assert (img.size, img.mode) == ((9, 6), "L")
+    assert list(img.getdata()) == px
+
+    rgb = [((x * 5) % 256, (y * 11) % 256, (x + y) % 256) for y in range(4) for x in range(5)]
+    img2 = decode_image(_ppm_bytes(rgb, (5, 4)))
+    assert (img2.size, img2.mode) == ((5, 4), "RGB")
+    assert list(img2.getdata()) == rgb
+    # PIL's exact integer ITU-R 601-2 luma on convert("L")
+    luma = img2.convert("L")
+    expect = [(r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16 for r, g, b in rgb]
+    assert list(luma.getdata()) == expect
+
+
+def test_pnm_downscale_matches_area_average_model():
+    """The fallback resize is an exact area average: on a grid whose
+    cells align with the 10x6 target, each output cell must equal its
+    block's integer-rounded mean."""
+    from apd_map_reduce_spark.operators.multimodal import decode_image
+
+    w, h = 40, 24  # 4x4 source pixels per 10x6 target cell
+    px = [(x // 4) * 20 + (y // 4) * 3 for y in range(h) for x in range(w)]
+    img = decode_image(_pgm_bytes(px, (w, h)))
+    small = img.resize((10, 6))
+    assert small.size == (10, 6)
+    got = list(small.getdata())
+    expect = [tx * 20 + ty * 3 for ty in range(6) for tx in range(10)]
+    assert got == expect
+
+
+def test_real_pixel_path_in_container(spark):
+    """image_metadata / image_phash_neardup over genuinely DECODED
+    pixels, green without PIL: PNM payloads exercise the same
+    mapInPandas plumbing, decode, grayscale conversion, 10x6
+    downscale, banding, and exact-hamming verification as the
+    codec-enabled path."""
+    from apd_map_reduce_spark.operators.multimodal import (
+        image_metadata,
+        image_phash_neardup,
+    )
+
+    w, h = 40, 24
+    base = [(x * 255) // (w - 1) for y in range(h) for x in range(w)]  # ramp
+    near = list(base)
+    near[0] = 255 - near[0]  # single-pixel change -> low hamming
+    checker = [255 * ((x // 4 + y // 4) % 2) for y in range(h) for x in range(w)]
+    rgb_ramp = [(v, v, v) for v in base]  # P6 twin of the ramp
+    images = spark.createDataFrame(
+        [
+            (1, bytearray(_pgm_bytes(base, (w, h)))),
+            (2, bytearray(_pgm_bytes(near, (w, h)))),
+            (3, bytearray(_pgm_bytes(checker, (w, h)))),
+            (4, bytearray(_ppm_bytes(rgb_ramp, (w, h)))),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    meta = {r.doc_id: r for r in image_metadata(images).collect()}
+    assert set(meta) == {1, 2, 3, 4}
+    assert all((m.width, m.height) == (w, h) for m in meta.values())
+    assert meta[1].mode == "L" and meta[4].mode == "RGB"
+    assert meta[1].content_hash != meta[2].content_hash
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_phash_neardup(images).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    # the gray-RGB twin decodes to the same luma plane -> hamming 0
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert all(3 not in k for k in pairs)
