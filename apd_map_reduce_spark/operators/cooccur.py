@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.operators.dedup import _TOKENS_SQL, normalized_tokens
 from apd_map_reduce_spark.functions.text import null_safe_size
-from apd_map_reduce_spark.plans.layout import spread
+from apd_map_reduce_spark.plans.layout import (
+    explode_nonnull,
+    posexplode_nonnull,
+    spread,
+)
 from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -84,7 +88,7 @@ def cooccurrence_counts(docs: DataFrame, window: int = COOCCUR_WINDOW) -> DataFr
     toks = _tokens_rel(docs)
     pair_arrays = [_offset_pairs(j) for j in range(1, window + 1)]
     return (
-        toks.select(F.explode(F.concat(*pair_arrays)).alias("p"))
+        explode_nonnull(toks, [], F.concat(*pair_arrays), "p")
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
@@ -106,8 +110,7 @@ def cooccurrence_pmi(
         F.col("pair_count") >= min_count
     )
     uni = (
-        _tokens_rel(docs)
-        .select(F.explode("ts").alias("token"))
+        explode_nonnull(_tokens_rel(docs), [], "ts", "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("token_count"))
     )
@@ -214,8 +217,8 @@ def positional_index(docs: DataFrame) -> DataFrame:
     postings = "doc:pos,doc:pos,..." sorted by (doc_id, pos), 1-based
     positions over the normalized token sequence — the reference's
     word->{file_id} index extended with in-document positions."""
-    tok = _tokens_rel(docs).select(
-        "doc_id", F.posexplode("ts").alias("pos0", "word")
+    tok = posexplode_nonnull(
+        _tokens_rel(docs), ["doc_id"], "ts", "pos0", "word"
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
     posting = F.array_sort(F.collect_list(F.struct("doc_id", "pos")))
     return tok.groupBy("word").agg(
@@ -256,8 +259,8 @@ def delta_postings(docs: DataFrame) -> DataFrame:
     aggregation. No arrays of the whole corpus, no global sort."""
     from pyspark.sql.window import Window
 
-    ids = _tokens_rel(docs).select(
-        "doc_id", F.explode(F.array_distinct("ts")).alias("word")
+    ids = explode_nonnull(
+        _tokens_rel(docs), ["doc_id"], F.array_distinct("ts"), "word"
     ).distinct()
     w = Window.partitionBy("word").orderBy("doc_id")
     g = ids.withColumn(
@@ -294,7 +297,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     idf is rounded BEFORE the tf multiply so the ranking key is a
     deterministic function of the exact integer (tf, df, N) triple in
     both engines; ties break on the term itself."""
-    tok = _tokens_rel(docs).select("doc_id", F.explode("ts").alias("term"))
+    tok = explode_nonnull(_tokens_rel(docs), ["doc_id"], "ts", "term")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -382,8 +385,8 @@ def bm25_search(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY, k: int = B
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(null_safe_size(F.col("ts"))).alias("total_tokens"),
     )
-    tok = base.select(
-        "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
+    tok = explode_nonnull(
+        base, ["doc_id", F.size("ts").alias("dl")], "ts", "term"
     ).filter(F.col("term").isin(list(terms)))
     # tf is consumed twice (df derivation + the scored join input) and
     # sits downstream of the tokenize+explode pass — cache it (2-4
@@ -510,8 +513,8 @@ def bm25_multi_search(
         F.sum(null_safe_size(F.col("ts"))).alias("total_tokens"),
     )
     qterms = qset.select("term").distinct()
-    tok = base.select(
-        "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
+    tok = explode_nonnull(
+        base, ["doc_id", F.size("ts").alias("dl")], "ts", "term"
     ).join(F.broadcast(qterms), "term")
     # cached for the same two-consumer reason as bm25_search
     tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
@@ -629,14 +632,14 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     predecessor-count relations are vocabulary²-bounded aggregates,
     broadcast back onto the pair stream."""
     toks = _tokens_rel(docs).filter(F.size("ts") >= 2)
-    big = toks.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
-                F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"),
-            )
-        ).alias("bg"),
+    big = explode_nonnull(
+        toks,
+        ["doc_id"],
+        F.arrays_zip(
+            F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+            F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"),
+        ),
+        "bg",
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.plans.layout import explode_nonnull
+
 from apd_map_reduce_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     _SHINGLES_CTE,
@@ -204,11 +206,19 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFr
     Scale: pure per-row explode — no shuffle; output rows ≈ tokens/C,
     so the operator is scan-bound and embarrassingly parallel."""
     toks = normalized_tokens()
-    df = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") > 0)
+    df = docs.select("doc_id", toks.alias("ts"))
     n_chunks = F.ceil(F.size("ts") / F.lit(float(chunk_tokens))).cast("int")
     chunk = F.slice(F.col("ts"), F.col("ci") * chunk_tokens + 1, chunk_tokens)
+    # when-guarded sequence instead of a size filter: the filter form
+    # pushed the tokenizer below the scan as a duplicate evaluation
+    # (the InferFiltersFromGenerate/pushdown trap, plans/layout.py);
+    # zero-token docs now yield an empty chunk array and fall out at
+    # the explode_nonnull, same contract.
+    seq = F.when(
+        F.size("ts") > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        df.select("doc_id", "ts", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"))
+        explode_nonnull(df, ["doc_id", "ts"], seq, "ci")
         .select(
             "doc_id",
             (F.col("ci") + 1).cast("long").alias("chunk_idx"),

@@ -40,7 +40,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.functions.text import null_safe_size
-from apd_map_reduce_spark.plans.layout import spread
+from apd_map_reduce_spark.plans.layout import (
+    explode_nonnull,
+    posexplode_nonnull,
+    spread,
+)
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -143,12 +147,16 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) with per-doc distinct shingles.
 
     spread() first: shingling is the CPU-bound stage and must not be
-    serialized by a small scan (plans/layout.py). Dedup happens at the
-    ARRAY level (array_distinct) — per-doc distinctness needs no global
-    shuffle, unlike explode().distinct()."""
-    return spread(docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(normalized_tokens()))).alias("shingle"),
+    serialized by a small scan (plans/layout.py); explode_nonnull so
+    the optimizer's inferred size-filter cannot drag the shingle
+    expression back below the exchange (same file). Dedup happens at
+    the ARRAY level (array_distinct) — per-doc distinctness needs no
+    global shuffle, unlike explode().distinct()."""
+    return explode_nonnull(
+        spread(docs),
+        ["doc_id"],
+        F.array_distinct(word_shingles(normalized_tokens())),
+        "shingle",
     )
 
 
@@ -164,7 +172,7 @@ def doc_shingle_hashes(docs: DataFrame) -> DataFrame:
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
     )
-    return spread(docs).select("doc_id", F.explode(hashed).alias("sh"))
+    return explode_nonnull(spread(docs), ["doc_id"], hashed, "sh")
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -1056,8 +1064,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     One groupBy(doc) with 60 conditional sums — no bit-level explosion.
     """
     tok = (
-        spread(docs)
-        .select("doc_id", F.explode(normalized_tokens()).alias("token"))
+        explode_nonnull(spread(docs), ["doc_id"], normalized_tokens(), "token")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", hash60(F.col("token")))
@@ -1252,11 +1259,11 @@ def boilerplate_spans(
     whole corpus is one hot-ish group of size df, but the aggregation
     is (count, min) — partial-agg collapses it map-side, so unlike a
     self-join there is no df² blowup anywhere."""
-    spans = spread(docs).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(normalized_tokens(), n=n))
-        ).alias("span"),
+    spans = explode_nonnull(
+        spread(docs),
+        ["doc_id"],
+        F.array_distinct(word_shingles(normalized_tokens(), n=n)),
+        "span",
     )
     return (
         spans.groupBy("span")
@@ -1291,9 +1298,8 @@ def _dup_window_relations(docs: DataFrame, n: int, min_df: int):
     and the duplicated-span set (df counts DISTINCT docs — a span
     repeated within one doc counts once)."""
     toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
-    win = toks.select(
-        "doc_id",
-        F.posexplode(word_shingles(F.col("ts"), n=n)).alias("i0", "span"),
+    win = posexplode_nonnull(
+        toks, ["doc_id"], word_shingles(F.col("ts"), n=n), "i0", "span"
     )
     dup = (
         win.select("doc_id", "span")

@@ -35,6 +35,8 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.plans.layout import explode_nonnull
+
 from apd_map_reduce_spark.functions.text import tokenize_normalized
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
@@ -49,11 +51,12 @@ def words(corpus: DataFrame, id_col: str = "file_id", text_col: str = "line") ->
     # No spread() here: tokenize+partial-agg is cheap enough that the
     # extra round-robin shuffle costs more than it buys (A/B at sf0.1:
     # 0.35s direct vs 0.45s spread). Shingling (dedup.py) differs — its
-    # per-row cost is ~10x and spread wins there.
-    return corpus.select(
-        F.explode(tokenize_normalized(text_col)).alias("word"),
-        F.col(id_col).alias("file_id"),
-    )
+    # per-row cost is ~10x and spread wins there. explode_nonnull so
+    # the optimizer's inferred size-filter doesn't re-evaluate the
+    # tokenizer a second time below the scan (plans/layout.py).
+    return explode_nonnull(
+        corpus, [F.col(id_col).alias("file_id")], tokenize_normalized(text_col), "word"
+    ).select("word", "file_id")
 
 
 def inverted_index(corpus: DataFrame, id_col: str = "file_id", text_col: str = "line") -> DataFrame:

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.plans.layout import explode_nonnull
+
 from apd_map_reduce_spark.operators.dedup import (
     _TOKENS_SQL,
     normalized_tokens,
@@ -65,16 +67,14 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     identical integer operands on both engines (queries/base.py rules).
     """
     base = docs.select("doc_id", normalized_tokens().alias("ts"))
-    tok = base.select("doc_id", F.explode("ts").alias("tok"))
+    tok = explode_nonnull(base, ["doc_id"], "ts", "tok")
     tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     ta = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_token_n"),
     )
-    big = base.select(
-        "doc_id", F.explode(word_shingles(F.col("ts"), 2)).alias("b")
-    )
+    big = explode_nonnull(base, ["doc_id"], word_shingles(F.col("ts"), 2), "b")
     bc = big.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     ba = bc.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")

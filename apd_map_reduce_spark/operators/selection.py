@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.operators.dedup import hash60, normalized_tokens
-from apd_map_reduce_spark.plans.layout import spread
+from apd_map_reduce_spark.plans.layout import explode_nonnull, spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -77,10 +77,8 @@ def _bucketed_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, bucket) — one row per token INSTANCE, bucket =
     hash60(token) % NB_FEATURES (hash60 is non-negative, so % == pmod
     on both engines)."""
-    return spread(docs).select(
-        "doc_id",
-        "lang",
-        F.explode(normalized_tokens()).alias("token"),
+    return explode_nonnull(
+        spread(docs), ["doc_id", "lang"], normalized_tokens(), "token"
     ).select(
         "doc_id",
         "lang",

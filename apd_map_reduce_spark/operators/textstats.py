@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from apd_map_reduce_spark.functions.text import null_safe_size
 from apd_map_reduce_spark.operators.dedup import normalized_tokens
-from apd_map_reduce_spark.plans.layout import spread
+from apd_map_reduce_spark.plans.layout import explode_nonnull, spread
 from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -254,8 +254,7 @@ def bpe_merge_pairs(docs: DataFrame, top_n: int = BPE_TOP_PAIRS) -> DataFrame:
     [a-z], so the pair relation tops out at 676 rows; the ranking
     window is over that, not the corpus."""
     vocab = (
-        spread(docs)
-        .select(F.explode(normalized_tokens()).alias("word"))
+        explode_nonnull(spread(docs), [], normalized_tokens(), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -335,18 +334,17 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     base = docs.select("doc_id", norm.alias("t")).filter(
         F.length("t") >= WINNOW_K + WINNOW_W - 1
     )
-    grams = base.select(
-        "doc_id",
-        (F.length("t") - (WINNOW_K - 1)).alias("n_grams"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t") - (WINNOW_K - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    hash60(F.substring(F.col("t"), i, WINNOW_K)).alias("h"),
-                ),
-            )
-        ).alias("g"),
+    grams = explode_nonnull(
+        base,
+        ["doc_id", (F.length("t") - (WINNOW_K - 1)).alias("n_grams")],
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - (WINNOW_K - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                hash60(F.substring(F.col("t"), i, WINNOW_K)).alias("h"),
+            ),
+        ),
+        "g",
     ).select("doc_id", "n_grams", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     w = (
         Window.partitionBy("doc_id")
@@ -484,9 +482,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 
     Scale: token→freq is a broadcast-able aggregate of the corpus
     itself (vocabulary-sized), joined back to the token stream."""
-    tok = spread(docs).select(
-        "doc_id", F.explode(normalized_tokens()).alias("token")
-    )
+    tok = explode_nonnull(spread(docs), ["doc_id"], normalized_tokens(), "token")
     freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     log_dec = F.round(F.log10(F.col("freq").cast("double")), 6).cast("decimal(12,6)")
     return (
@@ -514,9 +510,7 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     Scale: explode -> groupBy(doc, token) with map-side partial
     aggregation, then a per-doc window over the already-shuffled key —
     no second exchange (doc_id is a prefix of the grouping key)."""
-    tok = spread(docs).select(
-        "doc_id", F.explode(normalized_tokens()).alias("token")
-    )
+    tok = explode_nonnull(spread(docs), ["doc_id"], normalized_tokens(), "token")
     per_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("doc_id")
     with_n = per_tok.withColumn("n", F.sum("c").over(w))
@@ -593,8 +587,8 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = PPL_BUCKETS) -> DataFra
     per-language skew concern only if one language dominates, in which
     case the production path is quantile thresholds from
     approx_percentile instead of a global-per-lang window."""
-    tok = spread(docs).select(
-        "doc_id", "lang", F.explode(normalized_tokens()).alias("token")
+    tok = explode_nonnull(
+        spread(docs), ["doc_id", "lang"], normalized_tokens(), "token"
     )
     freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     log_dec = F.round(F.log10(F.col("freq").cast("double")), 6).cast("decimal(12,6)")

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.plans.layout import posexplode_nonnull
+
 from apd_map_reduce_spark.functions.embeddings import (
     valid_embeddings,
     valid_embeddings_sql,
@@ -100,7 +102,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     result is bit-identical however Spark schedules the partial
     aggregates. Centroid value = sum_micro / (n_vecs * 1e6), within
     1e-6 of the float mean."""
-    exploded = emb.select("label", F.posexplode(_dvec("embedding")).alias("pos0", "x"))
+    exploded = posexplode_nonnull(emb, ["label"], _dvec("embedding"), "pos0", "x")
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apd_map_reduce_spark.plans.layout import explode_nonnull
+
 from apd_map_reduce_spark.functions.text import tokenize_normalized
 from apd_map_reduce_spark.sources.manifest import read_manifest
 
@@ -45,9 +47,8 @@ def stream_corpus(
 def incremental_inverted_index(corpus_stream: DataFrame) -> DataFrame:
     """Streaming DataFrame[word, file_ids, df] — semantics identical to
     operators/invindex.inverted_index, maintained per micro-batch."""
-    words = corpus_stream.select(
-        F.explode(tokenize_normalized("line")).alias("word"),
-        "file_id",
+    words = explode_nonnull(
+        corpus_stream, ["file_id"], tokenize_normalized("line"), "word"
     )
     return (
         words.groupBy("word")

@@ -65,6 +65,11 @@ QUERIES = [
     # inventory as dedup_ngram_jaccard plus the sh-keyed weight join
     # (expect the two to track decade-for-decade)
     "dedup_weighted_cosine",
+    # fifth-session addition: the composed LSH-screen + exact-verify
+    # path — the scale answer to the exact enumerators' pair-universe
+    # growth (expect it to track dedup_minhash_lsh, NOT
+    # dedup_ngram_jaccard, across the pair-dense decades)
+    "dedup_lsh_screened_jaccard",
 ]
 PASSES = 3
 
