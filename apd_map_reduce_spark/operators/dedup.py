@@ -117,13 +117,38 @@ _TOKENS_SQL = (
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined); empty when < n tokens."""
+    """Word n-gram shingles (space-joined); empty when < n tokens.
+
+    `tokens` MUST be a materialized attribute (a column produced by a
+    prior select, e.g. `tokenized_docs`), NOT an inline expression
+    tree: this builder references `tokens` n+2 times (n `element_at`
+    picks per position plus two `size` guards), and Column expressions
+    are spliced in BY VALUE — an inline tokenizer chain would be
+    re-evaluated per shingle position, turning a per-doc O(T) stage
+    into O(n·T·tokenize). Measured on text_boilerplate_spans at sf1:
+    28.4 s inline vs 1.7 s through the projection barrier (NOTES_r6
+    §6). `tests/test_plan_quality.py` gates the single-evaluation
+    shape on every shingle consumer."""
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     make = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]),
     )
     return F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def tokenized_docs(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame:
+    """(*keep, ts) with ts = the normalized token array, materialized
+    ONCE per row behind a projection barrier.
+
+    The barrier is load-bearing: every downstream shingle expression
+    references `ts` many times, and Catalyst's CollapseProject keeps a
+    non-cheap alias that is multiply-referenced as its own projection
+    instead of inlining it — so the tokenizer (split + per-token
+    regexp_replace) runs once per document, not once per reference.
+    spread() first so the CPU-bound tokenize stage is never serialized
+    by a small scan (plans/layout.py)."""
+    return spread(docs).select(*keep, normalized_tokens().alias("ts"))
 
 
 _SHINGLES_CTE = f"""
@@ -146,16 +171,18 @@ shh AS (
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) with per-doc distinct shingles.
 
-    spread() first: shingling is the CPU-bound stage and must not be
-    serialized by a small scan (plans/layout.py); explode_nonnull so
-    the optimizer's inferred size-filter cannot drag the shingle
-    expression back below the exchange (same file). Dedup happens at
-    the ARRAY level (array_distinct) — per-doc distinctness needs no
-    global shuffle, unlike explode().distinct()."""
+    tokenized_docs() first: the token array is materialized once per
+    row (the multi-reference trap in word_shingles' docstring) and the
+    CPU-bound stage is never serialized by a small scan;
+    explode_nonnull so the optimizer's inferred size-filter cannot
+    drag the shingle expression back below the exchange
+    (plans/layout.py). Dedup happens at the ARRAY level
+    (array_distinct) — per-doc distinctness needs no global shuffle,
+    unlike explode().distinct()."""
     return explode_nonnull(
-        spread(docs),
+        tokenized_docs(docs),
         ["doc_id"],
-        F.array_distinct(word_shingles(normalized_tokens())),
+        F.array_distinct(word_shingles(F.col("ts"))),
         "shingle",
     )
 
@@ -168,11 +195,11 @@ def doc_shingle_hashes(docs: DataFrame) -> DataFrame:
     engine-identical even in the (negligible) collision case."""
     hashed = F.array_distinct(
         F.transform(
-            word_shingles(normalized_tokens()),
+            word_shingles(F.col("ts")),
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
     )
-    return explode_nonnull(spread(docs), ["doc_id"], hashed, "sh")
+    return explode_nonnull(tokenized_docs(docs), ["doc_id"], hashed, "sh")
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -1260,9 +1287,9 @@ def boilerplate_spans(
     is (count, min) — partial-agg collapses it map-side, so unlike a
     self-join there is no df² blowup anywhere."""
     spans = explode_nonnull(
-        spread(docs),
+        tokenized_docs(docs),
         ["doc_id"],
-        F.array_distinct(word_shingles(normalized_tokens(), n=n)),
+        F.array_distinct(word_shingles(F.col("ts"), n=n)),
         "span",
     )
     return (
@@ -1297,7 +1324,7 @@ def _dup_window_relations(docs: DataFrame, n: int, min_df: int):
     the cached token relation, the positional n-token window relation,
     and the duplicated-span set (df counts DISTINCT docs — a span
     repeated within one doc counts once)."""
-    toks = spread(docs).select("doc_id", normalized_tokens().alias("ts")).cache()
+    toks = tokenized_docs(docs).cache()
     win = posexplode_nonnull(
         toks, ["doc_id"], word_shingles(F.col("ts"), n=n), "i0", "span"
     )

@@ -128,3 +128,33 @@ def test_binary_file_source(spark, tmp_path, small_corpus_dir):
     rows = df.select("path", F.length("content").alias("n")).collect()
     assert len(rows) == 3
     assert all(r.n > 0 for r in rows)
+
+
+def _tokenizer_evaluations(df) -> int:
+    """Occurrences of the tokenizer chain's fingerprint in the
+    EXECUTED physical plan — one per evaluation site."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("split(text")
+
+
+@pytest.mark.parametrize(
+    "builder",
+    ["doc_shingles", "doc_shingle_hashes", "boilerplate_spans"],
+)
+def test_tokenizer_evaluated_once(spark, builder):
+    """The single-evaluation gate for the shingle producers: the
+    tokenize chain (split + per-token regexp) must appear EXACTLY once
+    in the physical plan. Column expressions splice by value, so
+    passing `normalized_tokens()` inline into `word_shingles` (which
+    references its input n+2 times) re-tokenizes the document once per
+    shingle position — measured 28.4 s → 1.7 s at sf1 on
+    text_boilerplate_spans when the `tokenized_docs` projection
+    barrier was introduced (NOTES_r6 §6). This pins the barrier
+    against a Catalyst CollapseProject behavior change or a refactor
+    that re-inlines the expression."""
+    from apd_map_reduce_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = getattr(dedup, builder)(docs)
+    n = _tokenizer_evaluations(df)
+    assert n == 1, f"{builder}: tokenizer evaluated {n} times (want 1)"
