@@ -76,12 +76,17 @@ def assign_literal_centroids(
     emb: DataFrame, centroids: list[tuple[int, list[float]]], emb_col: str = "embedding"
 ) -> DataFrame:
     """+ (cluster_id, dist6): nearest centroid by round-6 L2, id
-    tie-break. Centroids are literals — assignment is scan-only."""
+    tie-break. Centroids are literals — assignment is scan-only.
+
+    `_dv` (the double cast) and `_best` (the k-distance sort) are
+    materialized per row behind projection barriers: spliced inline,
+    the cast re-ran once per centroid and the sort ran twice (once per
+    extracted field) — per-row work multiplied by k for no reason."""
     pairs = F.array(
         *[
             F.struct(
                 F.round(
-                    _l2(F.array(*[F.lit(v) for v in row]), _dvec(emb_col)), 6
+                    _l2(F.array(*[F.lit(v) for v in row]), F.col("_dv")), 6
                 ).alias("d"),
                 F.lit(cid).cast("long").alias("cid"),
             )
@@ -89,7 +94,13 @@ def assign_literal_centroids(
         ]
     )
     best = F.element_at(F.array_sort(pairs), 1)
-    return emb.withColumn("cluster_id", best["cid"]).withColumn("dist6", best["d"])
+    return (
+        emb.withColumn("_dv", _dvec(emb_col))
+        .withColumn("_best", best)
+        .withColumn("cluster_id", F.col("_best")["cid"])
+        .withColumn("dist6", F.col("_best")["d"])
+        .drop("_dv", "_best")
+    )
 
 
 def cluster_stats(assigned: DataFrame, emb_col: str = "embedding") -> DataFrame:
@@ -230,24 +241,34 @@ def pq_assign(emb: DataFrame, emb_col: str = "embedding") -> DataFrame:
     column-prunes to (vec_id, embedding)."""
     books = pq_codebooks()
     df = emb
+    # Each subspace slice and its k-distance sort are materialized per
+    # row behind projection barriers: spliced inline, the cast slice
+    # re-ran once per codebook entry and the sort ran twice (once per
+    # extracted field) — same fix as assign_literal_centroids.
     for mi, book in enumerate(books):
-        sub = F.transform(
-            F.slice(F.col(emb_col), mi * PQ_SUB + 1, PQ_SUB),
-            lambda x: x.cast("double"),
+        df = df.withColumn(
+            f"_sub{mi + 1}",
+            F.transform(
+                F.slice(F.col(emb_col), mi * PQ_SUB + 1, PQ_SUB),
+                lambda x: x.cast("double"),
+            ),
         )
         pairs = F.array(
             *[
                 F.struct(
-                    F.round(_l2(F.array(*[F.lit(v) for v in row]), sub), 6).alias("d"),
+                    F.round(
+                        _l2(F.array(*[F.lit(v) for v in row]), F.col(f"_sub{mi + 1}")),
+                        6,
+                    ).alias("d"),
                     F.lit(cid).cast("long").alias("cid"),
                 )
                 for cid, row in book
             ]
         )
-        best = F.element_at(F.array_sort(pairs), 1)
-        df = df.withColumn(f"code_{mi + 1}", best["cid"]).withColumn(
-            f"_d{mi + 1}", best["d"]
-        )
+        df = df.withColumn(f"_best{mi + 1}", F.element_at(F.array_sort(pairs), 1))
+        df = df.withColumn(
+            f"code_{mi + 1}", F.col(f"_best{mi + 1}")["cid"]
+        ).withColumn(f"_d{mi + 1}", F.col(f"_best{mi + 1}")["d"])
     qerr = F.round(
         F.col("_d1") + F.col("_d2") + F.col("_d3") + F.col("_d4"), 6
     )

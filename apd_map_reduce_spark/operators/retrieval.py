@@ -51,7 +51,7 @@ from apd_map_reduce_spark.functions.embeddings import (
     valid_embeddings_sql,
 )
 
-from apd_map_reduce_spark.operators.similarity import _dot, _dvec, _norm
+from apd_map_reduce_spark.operators.similarity import _cos6, unit_rel
 from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -96,19 +96,17 @@ def hybrid_rrf_search(
     # raw embeddings table (the registry lambda pre-filters; direct
     # callers previously diverged silently).
     embeddings = valid_embeddings(embeddings, dim)
-    probe = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
-        F.col("embedding").alias("q_emb")
+    base = unit_rel(embeddings, dim)
+    probe = base.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col("dv").alias("q_dv"), F.col("nrm").alias("q_n")
     )
-    corpus = embeddings.filter(F.col("vec_id") != probe_vec_id).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    corpus = base.filter(F.col("vec_id") != probe_vec_id).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("dv").alias("c_dv"),
+        F.col("nrm").alias("c_n"),
     )
     scored = corpus.crossJoin(F.broadcast(probe)).withColumn(
-        "cos_sim",
-        F.round(
-            _dot(_dvec("q_emb"), _dvec("c_emb"))
-            / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
-            6,
-        ),
+        "cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n", dim)
     )
     # depth-bounded semantic list via TakeOrderedAndProject: every scan
     # task keeps a depth-row heap, so the corpus-sized scored relation

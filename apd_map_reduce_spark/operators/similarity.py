@@ -55,24 +55,63 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _dot_flat(a: Column, b: Column, dim: int = DIM) -> Column:
+    """Left-associative Σ a[i]·b[i] as `dim` explicit terms.
+
+    Bit-identical to `_dot`'s fold (same seed `0.0 + t1`, same add
+    order), but the flat expression whole-stage-codegens where
+    Catalyst's higher-order `aggregate` fold is interpreted per
+    element — the same measured rationale as `_centroid_assign`'s
+    flat distance. Requires arrays of exactly `dim` elements (the
+    `valid_embeddings` contract every vector query enforces)."""
+    out = F.lit(0.0) + F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(1, dim):
+        out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return out
+
+
+def unit_rel(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
+    """(vec_id, dv double[dim], nrm): the double-cast vector and its
+    L2 norm, each materialized ONCE PER ROW behind a projection
+    barrier (CollapseProject keeps a non-cheap multiply-referenced
+    alias — same mechanism as dedup.tokenized_docs).
+
+    Every cosine join scores O(candidate pairs) rows, so anything
+    computable per row must not sit spliced inside the pair
+    expression: the previous inline form evaluated SIX array casts
+    and TWO redundant norm folds per pair. Numerics are unchanged —
+    the norm is the same seed/order sum as before, computed earlier."""
+    d = embeddings.select("vec_id", _dvec("embedding").alias("dv"))
+    return d.select(
+        "vec_id", "dv", F.sqrt(_dot_flat(F.col("dv"), F.col("dv"), dim)).alias("nrm")
+    )
+
+
+def _cos6(q_vec: str, c_vec: str, q_norm: str, c_norm: str, dim: int = DIM) -> Column:
+    """round(cos, 6) over materialized unit_rel columns — one flat dot
+    and one divide per pair; the casts and norms are per-row work."""
+    return F.round(
+        _dot_flat(F.col(q_vec), F.col(c_vec), dim) / (F.col(q_norm) * F.col(c_norm)),
+        6,
+    )
+
+
 def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector."""
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    base = unit_rel(embeddings)
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dv").alias("q_dv"),
+        F.col("nrm").alias("q_n"),
     )
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("dv").alias("c_dv"),
+        F.col("nrm").alias("c_n"),
     )
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(_dvec("q_emb"), _dvec("c_emb"))
-                / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
-                6,
-            ),
-        )
+        .withColumn("cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -114,28 +153,34 @@ def _planes() -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(emb_col: str) -> Column:
-    """8-bit LSH bucket id: bit p = sign(dot(plane_p, emb))."""
+def _bucket_expr(dv: Column) -> Column:
+    """8-bit LSH bucket id: bit p = sign(dot(plane_p, emb)). `dv` must
+    be a materialized double-array attribute (unit_rel's `dv`) — the
+    expression references it 8 times (once per plane)."""
     planes = _planes()
     bucket = F.lit(0)
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in row])
-        bit = F.when(_dot(plane, _dvec(emb_col)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(_dot_flat(plane, dv) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket."""
-    with_bucket = embeddings.withColumn("bucket", _bucket_expr("embedding"))
+    with_bucket = unit_rel(embeddings).withColumn(
+        "bucket", _bucket_expr(F.col("dv"))
+    )
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("dv").alias("q_dv"),
+        F.col("nrm").alias("q_n"),
         F.col("bucket").alias("q_bucket"),
     )
     corpus = with_bucket.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+        F.col("dv").alias("c_dv"),
+        F.col("nrm").alias("c_n"),
         F.col("bucket").alias("c_bucket"),
     )
     scored = (
@@ -144,14 +189,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
             (F.col("c_bucket") == F.col("q_bucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(_dvec("q_emb"), _dvec("c_emb"))
-                / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
-                6,
-            ),
-        )
+        .withColumn("cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -207,25 +245,24 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
     approximation), then emit only verified-high pairs. The oracle
     mirrors the same bucket+verify semantics, so results are exact to
     the operator's contract."""
-    with_bucket = embeddings.withColumn("bucket", _bucket_expr("embedding")).select(
-        "vec_id", "embedding", "bucket"
+    with_bucket = unit_rel(embeddings).withColumn(
+        "bucket", _bucket_expr(F.col("dv"))
     )
     a = with_bucket.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("bucket").alias("bkt_a")
+        F.col("vec_id").alias("id_a"),
+        F.col("dv").alias("dv_a"),
+        F.col("nrm").alias("n_a"),
+        F.col("bucket").alias("bkt_a"),
     )
     b = with_bucket.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bkt_b")
+        F.col("vec_id").alias("id_b"),
+        F.col("dv").alias("dv_b"),
+        F.col("nrm").alias("n_b"),
+        F.col("bucket").alias("bkt_b"),
     )
     return (
         a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(_dvec("emb_a"), _dvec("emb_b"))
-                / (_norm(_dvec("emb_a")) * _norm(_dvec("emb_b"))),
-                6,
-            ),
-        )
+        .withColumn("cos_sim", _cos6("dv_a", "dv_b", "n_a", "n_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -309,16 +346,18 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def _centroid_ranking(emb_col: str, n_centroids: int = N_CENTROIDS) -> Column:
+def _centroid_ranking(dv: Column, n_centroids: int = N_CENTROIDS) -> Column:
     """Array of centroid ids ordered by ascending L2 distance (rounded,
-    id tie-break) — element 1 = assignment, first N_PROBE = probe set."""
+    id tie-break) — element 1 = assignment, first N_PROBE = probe set.
+    `dv` must be a materialized double-array attribute (unit_rel's
+    `dv`): the expression references it once per centroid."""
     cents = _centroids(n_centroids)
     pairs = F.array(
         *[
             F.struct(
                 # round(sqrt(Σ(x-y)²), 6): same formula as DuckDB's
                 # list_distance, so the rounded keys are identical.
-                F.round(F.sqrt(_l2sq(F.array(*[F.lit(v) for v in row]), _dvec(emb_col))), 6).alias("d"),
+                F.round(F.sqrt(_l2sq(F.array(*[F.lit(v) for v in row]), dv)), 6).alias("d"),
                 F.lit(c).alias("cid"),
             )
             for c, row in enumerate(cents)
@@ -335,17 +374,20 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
 
     Scale: the inverted lists are a partition layout (list id = shuffle
     key); a query touches nprobe/N_CENTROIDS of the corpus."""
-    ranking = _centroid_ranking("embedding")
-    corpus = embeddings.select(
+    base = unit_rel(embeddings)
+    ranking = _centroid_ranking(F.col("dv"))
+    corpus = base.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+        F.col("dv").alias("c_dv"),
+        F.col("nrm").alias("c_n"),
         F.element_at(ranking, 1).alias("list_id"),
     )
     queries = (
-        embeddings.filter(F.col("vec_id") < n_queries)
+        base.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
+            F.col("dv").alias("q_dv"),
+            F.col("nrm").alias("q_n"),
             F.explode(F.slice(ranking, 1, N_PROBE)).alias("probe_list"),
         )
     )
@@ -355,14 +397,7 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
             (F.col("list_id") == F.col("probe_list"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(_dvec("q_emb"), _dvec("c_emb"))
-                / (_norm(_dvec("q_emb")) * _norm(_dvec("c_emb"))),
-                6,
-            ),
-        )
+        .withColumn("cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -500,23 +535,31 @@ def semdedup_prune(
         n_clusters = semdedup_n_clusters(n_rows)
     stride = max(n_rows // n_clusters, 1)
     assigned = _centroid_assign(embeddings, n_clusters, stride)
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster_id"
+    # per-row cast + norm (unit_rel rationale): the in-cluster join is
+    # the quadratic part, so per-pair work must be one dot + one divide
+    u = assigned.select("vec_id", "cluster_id", _dvec("embedding").alias("dv"))
+    u = u.select(
+        "vec_id",
+        "cluster_id",
+        "dv",
+        F.sqrt(_dot_flat(F.col("dv"), F.col("dv"))).alias("nrm"),
     )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cluster_id"
+    a = u.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster_id",
+        F.col("dv").alias("dv_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = u.select(
+        F.col("vec_id").alias("id_b"),
+        "cluster_id",
+        F.col("dv").alias("dv_b"),
+        F.col("nrm").alias("n_b"),
     )
     pruned_ids = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(_dvec("emb_a"), _dvec("emb_b"))
-                / (_norm(_dvec("emb_a")) * _norm(_dvec("emb_b"))),
-                6,
-            ),
-        )
+        .withColumn("cos_sim", _cos6("dv_a", "dv_b", "n_a", "n_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from apd_map_reduce_spark.plans.layout import posexplode_nonnull
 
 from apd_map_reduce_spark.functions.embeddings import (
+    EMBEDDING_DIM,
     valid_embeddings,
     valid_embeddings_sql,
 )
@@ -48,6 +49,46 @@ def _dvec(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _quant_rel(emb: DataFrame) -> DataFrame:
+    """(vec_id, n_dims, arr, scale, q): the int8 quantization chain
+    with each stage materialized behind a projection barrier.
+
+    The barriers are load-bearing: spliced inline, `scale` sits INSIDE
+    `q`'s per-element lambda, so the `array_max` scan it contains
+    re-ran once per element — O(dim²) work per row; and `q` itself was
+    re-evaluated once per consuming aggregate. Staged, each expression
+    runs once per row. Same expressions, identical values."""
+    d0 = emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        _dvec("embedding").alias("arr"),
+    )
+    d1 = d0.select(
+        "vec_id",
+        "n_dims",
+        "arr",
+        (
+            F.greatest(
+                F.array_max(F.transform(F.col("arr"), lambda x: F.abs(x))),
+                F.lit(MIN_SCALE),
+            )
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    return d1.select(
+        "vec_id",
+        "n_dims",
+        "arr",
+        "scale",
+        F.transform(
+            F.col("arr"),
+            lambda x: (
+                F.floor(F.abs(x) / F.col("scale") + F.lit(0.5)) * F.signum(x)
+            ).cast("long"),
+        ).alias("q"),
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
     q_i = round-half-away(x_i / scale) ∈ [-127, 127].
@@ -57,19 +98,13 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     ``ARRAY<TINYINT>`` — arrays don't canonicalize in the driver's
     value-hash (round 2's thumbnails lesson); the array-producing
     variant stays available by selecting ``q`` before the final
-    projection."""
-    arr = _dvec("embedding")
-    amax = F.array_max(F.transform(arr, lambda x: F.abs(x)))
-    scale = F.greatest(amax, F.lit(MIN_SCALE)) / F.lit(127.0)
-    q = F.transform(
-        arr, lambda x: (F.floor(F.abs(x) / scale + F.lit(0.5)) * F.signum(x)).cast("long")
-    )
-    return emb.select(
+    projection. Staged via `_quant_rel` (see its barrier rationale)."""
+    return _quant_rel(emb).select(
         "vec_id",
-        F.size("embedding").cast("long").alias("n_dims"),
-        F.floor(scale * F.lit(1e9)).cast("long").alias("scale_nano"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        "n_dims",
+        F.floor(F.col("scale") * F.lit(1e9)).cast("long").alias("scale_nano"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
     )
 
 
@@ -132,15 +167,14 @@ TOP_K = 5
 def _quantized_with_norm(emb: DataFrame) -> DataFrame:
     """(vec_id, q ARRAY<BIGINT>, qn2 = Σq² BIGINT) — the compressed
     search relation. Scales cancel out of quantized cosine, so they are
-    not carried."""
-    arr = _dvec("embedding")
-    amax = F.array_max(F.transform(arr, lambda x: F.abs(x)))
-    scale = F.greatest(amax, F.lit(MIN_SCALE)) / F.lit(127.0)
-    q = F.transform(
-        arr, lambda x: (F.floor(F.abs(x) / scale + F.lit(0.5)) * F.signum(x)).cast("long")
+    not carried. Staged via `_quant_rel` (see its barrier rationale)."""
+    return _quant_rel(emb).select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("qn2"),
     )
-    qn2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
-    return emb.select("vec_id", q.alias("q"), qn2.alias("qn2"))
 
 
 def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
@@ -166,11 +200,13 @@ def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K)
     corpus = qrel.select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("qn2").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # Flat per-dimension integer sum: the higher-order fold is
+    # interpreted per element while the flat chain whole-stage-
+    # codegens (same rationale as similarity._dot_flat); integer
+    # addition is order-exact, so the value is identical.
+    dot = F.lit(0).cast("long")
+    for i in range(EMBEDDING_DIM):
+        dot = dot + F.element_at(F.col("qa"), i + 1) * F.element_at(F.col("qb"), i + 1)
     scored = corpus.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
     ).withColumn(
