@@ -98,11 +98,11 @@ def hybrid_rrf_search(
     embeddings = valid_embeddings(embeddings, dim)
     base = unit_rel(embeddings, dim)
     probe = base.filter(F.col("vec_id") == probe_vec_id).select(
-        F.col("dv").alias("q_dv"), F.col("nrm").alias("q_n")
+        F.col("embedding").alias("q_dv"), F.col("nrm").alias("q_n")
     )
     corpus = base.filter(F.col("vec_id") != probe_vec_id).select(
         F.col("vec_id").alias("doc_id"),
-        F.col("dv").alias("c_dv"),
+        F.col("embedding").alias("c_dv"),
         F.col("nrm").alias("c_n"),
     )
     scored = corpus.crossJoin(F.broadcast(probe)).withColumn(

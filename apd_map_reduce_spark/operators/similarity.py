@@ -55,43 +55,51 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _dot_flat(a: Column, b: Column, dim: int = DIM) -> Column:
-    """Left-associative Σ a[i]·b[i] as `dim` explicit terms.
+def _dot_cast(a: Column, b: Column) -> Column:
+    """Σ double(a[i])·double(b[i]) — `_dot` with the element casts
+    folded into the zip lambda, so no cast ARRAY is ever materialized
+    or respliced (a redundant cast on an already-double input is
+    elided by Catalyst). Same seed and add order as `_dot`, so the
+    doubles are bit-identical.
 
-    Bit-identical to `_dot`'s fold (same seed `0.0 + t1`, same add
-    order), but the flat expression whole-stage-codegens where
-    Catalyst's higher-order `aggregate` fold is interpreted per
-    element — the same measured rationale as `_centroid_assign`'s
-    flat distance. Requires arrays of exactly `dim` elements (the
-    `valid_embeddings` contract every vector query enforces)."""
-    out = F.lit(0.0) + F.element_at(a, 1) * F.element_at(b, 1)
-    for i in range(1, dim):
-        out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
-    return out
+    Deliberately the compact higher-order fold, NOT a flat per-index
+    expression: a 64-term flat chain looks codegen-friendly, but one
+    copy per consumer in a join stage blows Janino's 64 KB method
+    limit and the WHOLE stage falls back to interpreted — measured
+    ann_lsh_topk 1.3 s → 5.4 s (the 8-plane bucket alone is 512
+    terms). The fold is interpreted but tiny; the scale lever is
+    evaluating it ONCE per pair (unit_rel), not making it flat."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def unit_rel(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
-    """(vec_id, dv double[dim], nrm): the double-cast vector and its
-    L2 norm, each materialized ONCE PER ROW behind a projection
-    barrier (CollapseProject keeps a non-cheap multiply-referenced
-    alias — same mechanism as dedup.tokenized_docs).
+    """(vec_id, embedding, nrm): the raw float vector plus its L2 norm
+    computed ONCE PER ROW.
 
     Every cosine join scores O(candidate pairs) rows, so anything
     computable per row must not sit spliced inside the pair
     expression: the previous inline form evaluated SIX array casts
-    and TWO redundant norm folds per pair. Numerics are unchanged —
-    the norm is the same seed/order sum as before, computed earlier."""
-    d = embeddings.select("vec_id", _dvec("embedding").alias("dv"))
-    return d.select(
-        "vec_id", "dv", F.sqrt(_dot_flat(F.col("dv"), F.col("dv"), dim)).alias("nrm")
+    and TWO redundant norm folds per pair; now the pair expression is
+    one fold + one divide. The join sides carry the original FLOAT
+    arrays (half the broadcast/shuffle bytes of a double cast) — the
+    per-element casts ride inside `_dot_cast`'s lambda. Numerics are
+    unchanged: same products, same add order, computed earlier.
+    `dim` is unused for math (the validity contract fixes the length)
+    and kept for the caller that parameterizes its fixture dim."""
+    return embeddings.select(
+        "vec_id", "embedding", F.sqrt(_dot_cast(F.col("embedding"), F.col("embedding"))).alias("nrm")
     )
 
 
 def _cos6(q_vec: str, c_vec: str, q_norm: str, c_norm: str, dim: int = DIM) -> Column:
-    """round(cos, 6) over materialized unit_rel columns — one flat dot
-    and one divide per pair; the casts and norms are per-row work."""
+    """round(cos, 6) over materialized unit_rel columns — one fold dot
+    and one divide per pair; the norms are per-row work."""
     return F.round(
-        _dot_flat(F.col(q_vec), F.col(c_vec), dim) / (F.col(q_norm) * F.col(c_norm)),
+        _dot_cast(F.col(q_vec), F.col(c_vec)) / (F.col(q_norm) * F.col(c_norm)),
         6,
     )
 
@@ -101,12 +109,12 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_
     base = unit_rel(embeddings)
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("dv").alias("q_dv"),
+        F.col("embedding").alias("q_dv"),
         F.col("nrm").alias("q_n"),
     )
     corpus = base.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("dv").alias("c_dv"),
+        F.col("embedding").alias("c_dv"),
         F.col("nrm").alias("c_n"),
     )
     scored = (
@@ -153,15 +161,15 @@ def _planes() -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(dv: Column) -> Column:
-    """8-bit LSH bucket id: bit p = sign(dot(plane_p, emb)). `dv` must
-    be a materialized double-array attribute (unit_rel's `dv`) — the
-    expression references it 8 times (once per plane)."""
+def _bucket_expr(emb: Column) -> Column:
+    """8-bit LSH bucket id: bit p = sign(dot(plane_p, emb)). `emb` must
+    be an ATTRIBUTE (a source/materialized column), not a spliced
+    expression — the bucket references it 8 times (once per plane)."""
     planes = _planes()
     bucket = F.lit(0)
     for p, row in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in row])
-        bit = F.when(_dot_flat(plane, dv) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(_dot_cast(plane, emb) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
@@ -169,17 +177,17 @@ def _bucket_expr(dv: Column) -> Column:
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket."""
     with_bucket = unit_rel(embeddings).withColumn(
-        "bucket", _bucket_expr(F.col("dv"))
+        "bucket", _bucket_expr(F.col("embedding"))
     )
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("dv").alias("q_dv"),
+        F.col("embedding").alias("q_dv"),
         F.col("nrm").alias("q_n"),
         F.col("bucket").alias("q_bucket"),
     )
     corpus = with_bucket.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("dv").alias("c_dv"),
+        F.col("embedding").alias("c_dv"),
         F.col("nrm").alias("c_n"),
         F.col("bucket").alias("c_bucket"),
     )
@@ -246,17 +254,17 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataF
     mirrors the same bucket+verify semantics, so results are exact to
     the operator's contract."""
     with_bucket = unit_rel(embeddings).withColumn(
-        "bucket", _bucket_expr(F.col("dv"))
+        "bucket", _bucket_expr(F.col("embedding"))
     )
     a = with_bucket.select(
         F.col("vec_id").alias("id_a"),
-        F.col("dv").alias("dv_a"),
+        F.col("embedding").alias("dv_a"),
         F.col("nrm").alias("n_a"),
         F.col("bucket").alias("bkt_a"),
     )
     b = with_bucket.select(
         F.col("vec_id").alias("id_b"),
-        F.col("dv").alias("dv_b"),
+        F.col("embedding").alias("dv_b"),
         F.col("nrm").alias("n_b"),
         F.col("bucket").alias("bkt_b"),
     )
@@ -339,25 +347,29 @@ def _centroids(k: int = N_CENTROIDS) -> list[list[float]]:
 
 
 def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (a[i]−b[i])²: one cast+subtract per element in the zip, the
+    square in the fold — same products in the same order as squaring
+    inside the zip, so the doubles are identical (and redundant casts
+    on already-double inputs are elided)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double")),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, d: acc + d * d,
     )
 
 
-def _centroid_ranking(dv: Column, n_centroids: int = N_CENTROIDS) -> Column:
+def _centroid_ranking(emb: Column, n_centroids: int = N_CENTROIDS) -> Column:
     """Array of centroid ids ordered by ascending L2 distance (rounded,
     id tie-break) — element 1 = assignment, first N_PROBE = probe set.
-    `dv` must be a materialized double-array attribute (unit_rel's
-    `dv`): the expression references it once per centroid."""
+    `emb` must be an ATTRIBUTE (not a spliced expression): the
+    expression references it once per centroid."""
     cents = _centroids(n_centroids)
     pairs = F.array(
         *[
             F.struct(
                 # round(sqrt(Σ(x-y)²), 6): same formula as DuckDB's
                 # list_distance, so the rounded keys are identical.
-                F.round(F.sqrt(_l2sq(F.array(*[F.lit(v) for v in row]), dv)), 6).alias("d"),
+                F.round(F.sqrt(_l2sq(F.array(*[F.lit(v) for v in row]), emb)), 6).alias("d"),
                 F.lit(c).alias("cid"),
             )
             for c, row in enumerate(cents)
@@ -374,19 +386,22 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
 
     Scale: the inverted lists are a partition layout (list id = shuffle
     key); a query touches nprobe/N_CENTROIDS of the corpus."""
-    base = unit_rel(embeddings)
-    ranking = _centroid_ranking(F.col("dv"))
-    corpus = base.select(
+    # _dv: the double cast materialized once per row for the ranking
+    # (which references its input once per centroid); the join sides
+    # still carry the narrow float array + norm.
+    based = unit_rel(embeddings).withColumn("_dv", _dvec("embedding"))
+    ranking = _centroid_ranking(F.col("_dv"))
+    corpus = based.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("dv").alias("c_dv"),
+        F.col("embedding").alias("c_dv"),
         F.col("nrm").alias("c_n"),
         F.element_at(ranking, 1).alias("list_id"),
     )
     queries = (
-        base.filter(F.col("vec_id") < n_queries)
+        based.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("dv").alias("q_dv"),
+            F.col("embedding").alias("q_dv"),
             F.col("nrm").alias("q_n"),
             F.explode(F.slice(ranking, 1, N_PROBE)).alias("probe_list"),
         )
@@ -535,25 +550,24 @@ def semdedup_prune(
         n_clusters = semdedup_n_clusters(n_rows)
     stride = max(n_rows // n_clusters, 1)
     assigned = _centroid_assign(embeddings, n_clusters, stride)
-    # per-row cast + norm (unit_rel rationale): the in-cluster join is
-    # the quadratic part, so per-pair work must be one dot + one divide
-    u = assigned.select("vec_id", "cluster_id", _dvec("embedding").alias("dv"))
-    u = u.select(
+    # per-row norm (unit_rel rationale): the in-cluster join is the
+    # quadratic part, so per-pair work must be one fold + one divide
+    u = assigned.select(
         "vec_id",
         "cluster_id",
-        "dv",
-        F.sqrt(_dot_flat(F.col("dv"), F.col("dv"))).alias("nrm"),
+        "embedding",
+        F.sqrt(_dot_cast(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a = u.select(
         F.col("vec_id").alias("id_a"),
         "cluster_id",
-        F.col("dv").alias("dv_a"),
+        F.col("embedding").alias("dv_a"),
         F.col("nrm").alias("n_a"),
     )
     b = u.select(
         F.col("vec_id").alias("id_b"),
         "cluster_id",
-        F.col("dv").alias("dv_b"),
+        F.col("embedding").alias("dv_b"),
         F.col("nrm").alias("n_b"),
     )
     pruned_ids = (

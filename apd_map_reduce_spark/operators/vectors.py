@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from apd_map_reduce_spark.plans.layout import posexplode_nonnull
 
 from apd_map_reduce_spark.functions.embeddings import (
-    EMBEDDING_DIM,
     valid_embeddings,
     valid_embeddings_sql,
 )
@@ -200,13 +199,11 @@ def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K)
     corpus = qrel.select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("qn2").alias("nb")
     )
-    # Flat per-dimension integer sum: the higher-order fold is
-    # interpreted per element while the flat chain whole-stage-
-    # codegens (same rationale as similarity._dot_flat); integer
-    # addition is order-exact, so the value is identical.
-    dot = F.lit(0).cast("long")
-    for i in range(EMBEDDING_DIM):
-        dot = dot + F.element_at(F.col("qa"), i + 1) * F.element_at(F.col("qb"), i + 1)
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     scored = corpus.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
     ).withColumn(
