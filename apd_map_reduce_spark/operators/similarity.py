@@ -28,7 +28,7 @@ from apd_map_reduce_spark.functions.embeddings import (
     valid_embeddings,
     valid_embeddings_sql,
 )
-from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.base import QueryDef, grouped_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
 _EMB_GUARD = valid_embeddings_sql()
@@ -121,12 +121,16 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "cos_sim")
-    )
+    # two-stage per-query rank (grouped_topk): a query's candidate set
+    # is corpus-scale, so it must never rank through one task
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        (F.desc("cos_sim"), F.asc("neighbor_id")),
+        k,
+        salt_on="neighbor_id",
+        rank_name="rnk",
+    ).select("query_id", "rnk", "neighbor_id", "cos_sim")
 
 
 COSINE_TOPK_ORACLE = f"""
@@ -199,12 +203,16 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
         )
         .withColumn("cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "cos_sim")
-    )
+    # two-stage per-query rank (grouped_topk): a query's candidate set
+    # is corpus-scale, so it must never rank through one task
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        (F.desc("cos_sim"), F.asc("neighbor_id")),
+        k,
+        salt_on="neighbor_id",
+        rank_name="rnk",
+    ).select("query_id", "rnk", "neighbor_id", "cos_sim")
 
 
 def _lsh_oracle() -> str:
@@ -414,12 +422,16 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3) 
         )
         .withColumn("cos_sim", _cos6("q_dv", "c_dv", "q_n", "c_n"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "cos_sim")
-    )
+    # two-stage per-query rank (grouped_topk): a query's candidate set
+    # is corpus-scale, so it must never rank through one task
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        (F.desc("cos_sim"), F.asc("neighbor_id")),
+        k,
+        salt_on="neighbor_id",
+        rank_name="rnk",
+    ).select("query_id", "rnk", "neighbor_id", "cos_sim")
 
 
 def _ivf_oracle(k: int = 3) -> str:

@@ -34,7 +34,7 @@ from apd_map_reduce_spark.functions.embeddings import (
     valid_embeddings_sql,
 )
 
-from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.base import QueryDef, grouped_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
 _EMB_GUARD = valid_embeddings_sql()
@@ -210,12 +210,16 @@ def int8_cosine_topk(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K)
         "qcos",
         F.round(dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "qcos")
-    )
+    # two-stage per-query rank (grouped_topk): a query's candidate set
+    # is corpus-scale, so it must never rank through one task
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        (F.desc("qcos"), F.asc("neighbor_id")),
+        k,
+        salt_on="neighbor_id",
+        rank_name="rnk",
+    ).select("query_id", "rnk", "neighbor_id", "qcos")
 
 
 INT8_TOPK_ORACLE = f"""

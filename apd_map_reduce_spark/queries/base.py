@@ -94,6 +94,44 @@ def ranked_topk(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    keys: list,
+    order: tuple[Column, ...],
+    k: int,
+    salt_on: Column | str,
+    rank_name: str = "rank",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Scale-safe PER-GROUP top-k with dense 1..k ranks.
+
+    A plain ``row_number over (partition by keys order by ...)`` funnels
+    each group's ENTIRE candidate set through one task — fine when
+    groups are small, a scale-killer when a group is corpus-sized (each
+    ANN query ranks O(N) scored rows). Two stages, the shape
+    `ann_pq_adc_topk` proved: a local window over (keys, salt) keeps
+    each salt cell's top-k — any group-global top-k row is top-k within
+    its cell, so the survivor set provably contains the answer — then
+    the per-group window ranks ≤ n_salts·k survivors. The widest
+    exchange carries the input over |groups|·n_salts keys instead of
+    |groups|.
+
+    Identical output to the single-window form provided `order` carries
+    a unique tie-break key (the registry-wide rule). `salt_on` must be
+    a column that spreads candidates (the neighbor/doc id — NOT a group
+    key)."""
+    salt = F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
+    local = Window.partitionBy(*keys, salt).orderBy(*order)
+    final = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_lrnk", F.row_number().over(local))
+        .filter(F.col("_lrnk") <= k)
+        .withColumn(rank_name, F.row_number().over(final).cast("long"))
+        .filter(F.col(rank_name) <= k)
+        .drop("_lrnk")
+    )
+
+
 def money(col: Column) -> Column:
     """Decimal-domain round to cents, then double.
 
