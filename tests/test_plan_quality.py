@@ -154,6 +154,10 @@ def test_tokenizer_evaluated_once(spark, builder):
     that re-inlines the expression."""
     from apd_map_reduce_spark.operators import dedup
 
+    # cached relations from earlier tests substitute InMemoryRelation
+    # for the scan subtree and hide the fingerprint — count on the
+    # uncached plan
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMOKE, "documents")
     df = getattr(dedup, builder)(docs)
     n = _tokenizer_evaluations(df)
