@@ -839,11 +839,13 @@ def minhash_lsh_pairs(
     return cross.unionByName(intra)
 
 
-def _minhash_oracle(
+def _minhash_ctes(
     threshold: float = NEARDUP_THRESHOLD,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
 ) -> str:
+    """The shared CTE block (shingles → sig → bands → candidates →
+    exact) of `_minhash_oracle` and `_minhash_estimate_oracle`."""
     sig_aggs = ",\n    ".join(
         f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
         for seed, (a, b) in enumerate(_mh_params(bands * rows))
@@ -857,8 +859,7 @@ def _minhash_oracle(
         )
         for band in range(bands)
     )
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
     {sig_aggs}
@@ -885,9 +886,197 @@ exact AS (
   JOIN cnt ca ON ca.doc_id = doc_a
   JOIN cnt cb ON cb.doc_id = doc_b
   WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {threshold}
-)
+)"""
+
+
+def _minhash_oracle(
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
+    return f"""
+WITH {_minhash_ctes(threshold, bands, rows)}
 SELECT c.doc_a, c.doc_b, e.jaccard
 FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+"""
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Estimator audit: every LSH-verified near-dup pair with the
+    MinHash Jaccard ESTIMATE (fraction of agreeing signature
+    components, Broder 1997 — unbiased, sd ≈ √(j(1−j)/k)) next to the
+    exact Jaccard. Monitoring |ĵ − j| on the verified sample is how a
+    production dedup validates its signature width k without
+    re-verifying the corpus — a drift in the error distribution means
+    the hash family or the shingle universe changed.
+
+    Determinism: n_agree is an integer 0..k; est and err are single
+    double divisions/subtractions of exact inputs rounded to 6 dp.
+    Scale: rides `minhash_lsh_pairs` (banded screen + keyed verify);
+    the signature join adds two broadcast-size equi-joins keyed by
+    doc id — pair count is near-dup density, not corpus size."""
+    k = bands * rows
+    sh = doc_shingle_hashes(docs).cache()
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, bands=bands, rows=rows)
+    sig = minhash_signatures(docs, sh=sh, n_perm=k)
+    arr = F.array(*[F.col(f"h{i}") for i in range(k)])
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), arr.alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), arr.alias("sig_b"))
+    n_agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = n_agree.cast("double") / F.lit(float(k))
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(est, 6).alias("mh_est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("mh_err"),
+        )
+    )
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Empirical recall of the banded-LSH screen against the exact
+    guarded near-dup set at the operator's own threshold — ONE row
+    (n_true_pairs, n_candidates, n_verified, recall6).
+
+    This is the runtime complement to the analytic S-curve contract
+    (`test_lsh_collision_probability_curve` asserts
+    P(collide | s=0.5) ≥ 0.9 from the (b, r) constants): a standing
+    deployment runs this on a SAMPLED slice — n_true_pairs enumerates
+    the exact sharing-pair universe, the thing the composed scale path
+    exists to avoid — and alarms when measured recall drifts from the
+    curve (hash-family or shingle-universe change).
+
+    Determinism: three exact counts + one round-6 ratio of integers.
+    Scale: the three relations are one shared shingling pass; the
+    final row is three single-row aggregates cross-joined (bounded,
+    whitelisted scalar-broadcast shape)."""
+    sh = doc_shingle_hashes(docs).cache()
+    true_pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, max_df=max_df, sh=sh
+    ).select("doc_a", "doc_b")
+    cands = lsh_candidate_pairs(docs, bands=bands, rows=rows, sh=sh).cache()
+    hits = true_pairs.join(cands, ["doc_a", "doc_b"])
+    nt = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_verified",
+            F.when(F.col("n_true_pairs") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("n_verified") / F.col("n_true_pairs"), 6)
+            )
+            .alias("recall6"),
+        )
+    )
+
+
+def _lsh_recall_audit_oracle(
+    threshold: float = NEARDUP_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
+    """Oracle twin of `lsh_recall_audit`: the guarded exact-pair CTEs
+    (NGRAM_JACCARD's) plus the banded-candidate CTEs, counted."""
+    sig_aggs = ",\n    ".join(
+        f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
+        for seed, (a, b) in enumerate(_mh_params(bands * rows))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, md5({expr}) AS band_hash FROM sig".format(
+            band=band,
+            expr=" || ',' || ".join(
+                f"h{band * rows + j}::VARCHAR" for j in range(rows)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+{_PAIR_OVERLAP_CTES},
+true_pairs AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= {threshold}
+),
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT t.doc_a, t.doc_b FROM true_pairs t
+  JOIN candidates c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT
+  (SELECT COUNT(*) FROM true_pairs)::BIGINT AS n_true_pairs,
+  (SELECT COUNT(*) FROM candidates)::BIGINT AS n_candidates,
+  (SELECT COUNT(*) FROM hits)::BIGINT AS n_verified,
+  CASE WHEN (SELECT COUNT(*) FROM true_pairs) = 0 THEN NULL
+       ELSE ROUND((SELECT COUNT(*) FROM hits) * 1.0
+                  / (SELECT COUNT(*) FROM true_pairs), 6)
+  END AS recall6
+"""
+
+
+def _minhash_estimate_oracle(
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
+    """Oracle twin of `minhash_estimate_pairs`: the `_minhash_oracle`
+    CTE pipeline re-joined to the signature relation for the
+    agreement count."""
+    k = bands * rows
+    agree_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH {_minhash_ctes(threshold, bands, rows)},
+verified AS (
+  SELECT c.doc_a, c.doc_b, e.jaccard
+  FROM candidates c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT v.doc_a, v.doc_b, v.jaccard,
+       ROUND(({agree_sum}) / {k}.0, 6) AS mh_est,
+       ROUND(ABS(({agree_sum}) / {k}.0 - v.jaccard), 6) AS mh_err
+FROM verified v
+JOIN sig sa ON sa.doc_id = v.doc_a
+JOIN sig sb ON sb.doc_id = v.doc_b
 """
 
 
@@ -1716,6 +1905,21 @@ DEDUP_QUERIES = [
         lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         _minhash_oracle(),
         headline=True,
+    ),
+    # Estimator audit: ĵ (signature agreement) vs exact j on the
+    # verified near-dup sample — the k-width health check a standing
+    # dedup deployment monitors.
+    QueryDef(
+        "dedup_minhash_estimate",
+        lambda s, d: minhash_estimate_pairs(_docs(s, d)),
+        _minhash_estimate_oracle(),
+    ),
+    # Empirical screen recall vs the exact guarded near-dup set — the
+    # runtime complement to the analytic S-curve contract.
+    QueryDef(
+        "dedup_lsh_recall_audit",
+        lambda s, d: lsh_recall_audit(_docs(s, d)),
+        _lsh_recall_audit_oracle(),
     ),
     # The runnable scale-path composition: LSH screen → exact
     # filtered-universe Jaccard verify (the `candidates` param of the

@@ -37,6 +37,9 @@ SCALAR_BROADCAST_OK = {
     # Hybrid RRF: inherits bm25_search's (n_docs, total_tokens) scalar
     # AND broadcasts the single probe-embedding row (1 row by filter).
     "text_hybrid_rrf_search",
+    # Recall audit: three single-row COUNT aggregates cross-joined
+    # into the one-row summary (1 row x 1 row x 1 row).
+    "dedup_lsh_recall_audit",
     # IVF-style centroid assignment: every vector must see every
     # centroid; the broadcast side is the K-row centroid pool, bounded
     # by the SEMDEDUP_MAX_CLUSTERS=256 clamp (constant, not data-sized).

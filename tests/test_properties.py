@@ -426,3 +426,62 @@ def test_retrieval_and_udtf_partition_sweep(spark):
             base = got
             assert all(len(g) > 0 for g in got), "fixture must be non-trivial"
         assert got == base, f"diverged at shuffle.partitions={n}"
+
+
+def test_minhash_estimate_contract(spark):
+    """The estimator-audit operator: for exact duplicates the MinHash
+    estimate is exactly 1.0 (identical shingle sets ⇒ identical
+    signatures), every estimate is a multiple of 1/k in [0, 1], and
+    mh_err == |mh_est − jaccard| (rounded) for every emitted pair."""
+    from apd_map_reduce_spark.operators.dedup import (
+        N_MINHASH,
+        minhash_estimate_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different content about spark partitions here now",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 0
+        "another unrelated short document with its own words",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = minhash_estimate_pairs(docs).collect()
+    assert rows, "expected near-dup pairs in the fixture"
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    dup = by_pair[(0, 3)]
+    assert dup.jaccard == 1.0 and dup.mh_est == 1.0 and dup.mh_err == 0.0
+    for r in rows:
+        n = r.mh_est * N_MINHASH
+        assert 0.0 <= r.mh_est <= 1.0
+        assert abs(n - round(n)) < 1e-4, "estimate must be a multiple of 1/k"
+        assert r.mh_err == round(abs(r.mh_est - r.jaccard), 6)
+
+
+def test_grouped_topk_matches_single_window(spark):
+    """grouped_topk's two-stage rank must equal the plain per-group
+    window for any data, given a unique tie-break key — the provable-
+    identity claim its docstring makes, pinned on a fixture with
+    duplicate scores across and inside salt cells."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from apd_map_reduce_spark.queries.base import grouped_topk
+
+    rows = [
+        (g, i, float((i * 7919 + g * 104729) % 13)) for g in range(5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp int, item int, score double")
+    order = (F.desc("score"), F.asc("item"))
+    got = grouped_topk(df, ["grp"], order, 7, salt_on="item").select(
+        "grp", "item", "score", "rank"
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 7)
+        .select("grp", "item", "score", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
