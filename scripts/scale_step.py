@@ -70,6 +70,14 @@ QUERIES = [
     # growth (expect it to track dedup_minhash_lsh, NOT
     # dedup_ngram_jaccard, across the pair-dense decades)
     "dedup_lsh_screened_jaccard",
+    # sixth-session additions: the dedup health checks. The estimator
+    # audit rides the LSH pipeline (expect LSH-like growth); the
+    # recall audit's truth side enumerates the exact pair universe BY
+    # DESIGN (sample-scoped at real scale, per its docstring) — its
+    # decade rows document that cost honestly, they don't claim a
+    # scale path.
+    "dedup_minhash_estimate",
+    "dedup_lsh_recall_audit",
 ]
 PASSES = 3
 
