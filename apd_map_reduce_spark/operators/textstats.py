@@ -526,6 +526,93 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     )
 
 
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf law fit over the corpus vocabulary: least-squares slope and
+    intercept of ln(freq) against ln(rank) for the top `top_n` terms —
+    ONE row (n_terms, zipf_slope, zipf_intercept). Natural-language
+    corpora sit near slope −1; a corpus whose slope drifts (template
+    spam flattens it, deduplication steepens the head) fails the
+    classic distributional sanity check curation pipelines run per
+    snapshot (Zipf 1949; Piantadosi 2014 for the modern reading).
+
+    Determinism: per-term ln's are rounded to 6 dp then cast to exact
+    decimals; all four regression sums are exact decimal arithmetic
+    (double summation order would drift), rounded to 6 dp (keeping the
+    internal value < 2⁵³ so the double conversion is exact-path in
+    both engines — queries/base.py `money` rationale), and the closed
+    form is then a handful of deterministic double ops. Rank comes
+    from `ranked_topk` (TakeOrderedAndProject — no unpartitioned
+    window; the vocabulary never funnels through one task).
+
+    Scale: vocabulary-sized aggregate of the token stream, then a
+    bounded top-N and a single-row aggregate."""
+    tok = explode_nonnull(spread(docs), [], normalized_tokens(), "word")
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = ranked_topk(vocab, (F.desc("freq"), F.asc("word")), top_n, "rank")
+    d6 = "decimal(12,6)"
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast(d6)
+    y = F.round(F.log(F.col("freq").cast("double")), 6).cast(d6)
+    agg = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum("x"), 6).cast("double").alias("sx"),
+        F.round(F.sum("y"), 6).cast("double").alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).cast("double").alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).cast("double").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    s_raw = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return agg.select(
+        "n_terms",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(s_raw, 6))
+        .alias("zipf_slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("sy") - s_raw * F.col("sx")) / n, 6))
+        .alias("zipf_intercept"),
+    )
+
+
+ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(list_transform(string_split_regex(text, '\\s+'),
+                t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> w <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank
+  FROM vocab ORDER BY freq DESC, word ASC LIMIT {ZIPF_TOP_N}
+),
+terms AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM ranked
+),
+s AS (
+  SELECT COUNT(*) AS n_terms,
+         CAST(ROUND(SUM(x), 6) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(y), 6) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(x * y), 6) AS DOUBLE) AS sxy,
+         CAST(ROUND(SUM(x * x), 6) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT n_terms,
+       CASE WHEN n_terms::DOUBLE * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND((n_terms::DOUBLE * sxy - sx * sy)
+                       / (n_terms::DOUBLE * sxx - sx * sx), 6) END AS zipf_slope,
+       CASE WHEN n_terms::DOUBLE * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND((sy - ((n_terms::DOUBLE * sxy - sx * sy)
+                              / (n_terms::DOUBLE * sxx - sx * sx)) * sx)
+                       / n_terms::DOUBLE, 6) END AS zipf_intercept
+FROM s
+"""
+
+
 ENTROPY_ORACLE = """
 WITH tok AS (
   SELECT doc_id,
@@ -658,6 +745,8 @@ TEXTSTATS_QUERIES = [
     QueryDef("text_bpe_merge_pairs", lambda s, d: bpe_merge_pairs(_docs(s, d)), BPE_MERGE_PAIRS_ORACLE),
     QueryDef("text_unigram_logprob", lambda s, d: unigram_logprob(_docs(s, d)), UNIGRAM_ORACLE),
     QueryDef("text_token_entropy", lambda s, d: token_entropy(_docs(s, d)), ENTROPY_ORACLE),
+    # Distributional sanity check: the vocabulary's Zipf slope.
+    QueryDef("text_zipf_fit", lambda s, d: zipf_fit(_docs(s, d)), ZIPF_ORACLE),
     QueryDef("text_lang_id_ngram", lambda s, d: lang_id_ngram(_docs(s, d)), _lang_ngram_oracle()),
     QueryDef("text_perplexity_buckets", lambda s, d: perplexity_buckets(_docs(s, d)), PPL_BUCKETS_ORACLE),
 ]
