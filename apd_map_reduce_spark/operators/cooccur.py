@@ -42,7 +42,7 @@ from apd_map_reduce_spark.plans.layout import (
     posexplode_nonnull,
     spread,
 )
-from apd_map_reduce_spark.queries.base import QueryDef, ranked_topk
+from apd_map_reduce_spark.queries.base import QueryDef, grouped_topk, ranked_topk
 from apd_map_reduce_spark.sources.tables import load_table
 
 COOCCUR_WINDOW = 2  # pair tokens with the next 1..W positions
@@ -501,9 +501,14 @@ def bm25_multi_search(
     shuffle; (term, doc) partial scores are computed ONCE per term-doc
     and then expanded per query by a second broadcast join — |Q| never
     multiplies the tokenize/aggregate work, only the final small score
-    expansion. The per-query top-k is a window over query_id (keyed,
-    parallel across queries — not the single-partition window the
-    fixed-probe variant accepts for its one global ranking)."""
+    expansion. The per-query top-k goes through two-stage
+    `grouped_topk` salted on doc_id: a plain window partitioned by
+    query_id would funnel each query's ENTIRE matched-doc set through
+    one task — corpus-sized when a query term is a stop word (the exact
+    hazard `bm25_search` avoids with TakeOrderedAndProject and the ANN
+    family avoids with the same grouped_topk shape). Output is
+    identical to the single-window form because (score DESC, doc_id
+    ASC) is a total order per query."""
     qset = queries.select("query_id", "term").distinct()
     base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
     # total_tokens: null_safe_size so a NULL-text doc contributes
@@ -552,14 +557,13 @@ def bm25_multi_search(
             F.sum("part").cast("double").alias("score"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "n_terms_matched", "score")
-    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        (F.desc("score"), F.asc("doc_id")),
+        k,
+        salt_on="doc_id",
+    ).select("query_id", "rank", "doc_id", "n_terms_matched", "score")
 
 
 def _bm25_multi_docs(spark, sf_dir):

@@ -680,6 +680,7 @@ def minhash_lsh_pairs(
     clusters: DataFrame | None = None,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidates, verified with exact Jaccard.
 
@@ -712,7 +713,12 @@ def minhash_lsh_pairs(
     `clusters` (optional) is the output of `dedup_exact(docs)` —
     pass it when the caller already computed (and ideally cached) the
     digest aggregation, e.g. the clean-corpus capstone, so the scan
-    isn't repeated.
+    isn't repeated. `sh` (optional) is a cached
+    `doc_shingle_hashes(docs)` relation over the FULL corpus — callers
+    that already shingled (e.g. `minhash_estimate_pairs`) pass it so
+    this query doesn't run a second shingling pass; it is restricted
+    to the representative docs internally (a doc's shingles depend
+    only on its text, so the anti-join is exact).
     """
     digests = docs.select("doc_id", F.md5("text").alias("ch"))
     if clusters is None:
@@ -731,7 +737,10 @@ def minhash_lsh_pairs(
 
     # One materialization of the hashed shingle relation feeds signature
     # generation AND candidate verification.
-    sh = doc_shingle_hashes(rep_docs).cache()
+    if sh is None:
+        sh = doc_shingle_hashes(rep_docs).cache()
+    else:
+        sh = sh.join(dup_extras, "doc_id", "left_anti")
     sig = minhash_signatures(rep_docs, sh=sh, n_perm=bands * rows)
     band_rel = band_relation(sig, bands=bands, rows=rows)
     # (Measured dead end: candidate generation via ONE groupBy on the
@@ -922,7 +931,7 @@ def minhash_estimate_pairs(
     doc id — pair count is near-dup density, not corpus size."""
     k = bands * rows
     sh = doc_shingle_hashes(docs).cache()
-    pairs = minhash_lsh_pairs(docs, threshold=threshold, bands=bands, rows=rows)
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, bands=bands, rows=rows, sh=sh)
     sig = minhash_signatures(docs, sh=sh, n_perm=k)
     arr = F.array(*[F.col(f"h{i}") for i in range(k)])
     sig_a = sig.select(F.col("doc_id").alias("doc_a"), arr.alias("sig_a"))

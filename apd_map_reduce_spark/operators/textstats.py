@@ -659,21 +659,35 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = PPL_BUCKETS) -> DataFra
     """CCNet-style perplexity bucketing (Wenzek et al. 2020,
     arXiv:1911.00359): score each document with the cheap LM proxy
     (mean log10 corpus token frequency, same statistic as
-    text_unigram_logprob), then split each language into equal-sized
-    head/middle/tail buckets by score — the standard recipe for
-    quality-stratifying a crawl before sampling training data.
+    text_unigram_logprob), then split each language into
+    head/middle/tail buckets by per-language score thresholds — the
+    published CCNet recipe itself (the paper computes perplexity
+    CUTOFFS per language and assigns each doc by comparing to the
+    cutoff, rather than ntile-ing the whole language through a sort).
+
+    Bucket rule: thresholds t_b = percentile_disc(b / n_buckets) of the
+    score, ascending, for b = 1..n_buckets-1; a doc lands in bucket
+    `n_buckets - |{b : score > t_b}|` (bucket 1 = head = above every
+    threshold). Ties on the threshold value share a bucket — a
+    value-based rule, unlike ntile's position-based one.
 
     Determinism: the score is the unigram_logprob statistic (exact
-    decimal sum / exact count); NTILE runs over a TOTAL order
-    (score DESC, doc_id ASC), so bucket boundaries cannot differ
-    cross-engine. Zero-token docs drop out in both engines (inner
-    join to the frequency table).
+    decimal sum / exact count). percentile_disc is the SQL-standard
+    "smallest value with cume_dist >= p" — an actual data value, no
+    interpolation — and the oracle selects the identical element by its
+    integer rank ceil(b*n / n_buckets), so the thresholds are bit-equal
+    cross-engine (tests/test_properties.py::
+    test_percentile_disc_matches_explicit_rank pins the Spark-side
+    equivalence of the two definitions). Zero-token docs drop out in
+    both engines (inner join to the frequency table).
 
     Scale: the frequency table is vocabulary-sized (broadcast); the
-    per-doc agg is one keyed shuffle; NTILE partitions by lang — a
-    per-language skew concern only if one language dominates, in which
-    case the production path is quantile thresholds from
-    approx_percentile instead of a global-per-lang window."""
+    per-doc agg is one keyed shuffle; thresholds are a per-lang
+    AGGREGATE (|langs| rows, distributed partial aggregation — no
+    window ever sees the per-doc relation) broadcast-joined back. The
+    previous ntile form funneled corpus/|langs| rows through one task
+    per language — the keyed-window scale hazard grouped_topk fixed for
+    ANN; this is the aggregation-side analogue."""
     tok = explode_nonnull(
         spread(docs), ["doc_id", "lang"], normalized_tokens(), "token"
     )
@@ -687,16 +701,26 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = PPL_BUCKETS) -> DataFra
             (F.sum(log_dec).cast("double") / F.count(F.lit(1))).alias("mean_log10_freq"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("mean_log10_freq"), F.asc("doc_id")
+    ths = per_doc.groupBy("lang").agg(
+        *[
+            F.expr(
+                f"percentile_disc({b / n_buckets!r}) "
+                "WITHIN GROUP (ORDER BY mean_log10_freq)"
+            ).alias(f"_t{b}")
+            for b in range(1, n_buckets)
+        ]
     )
-    bucket = F.ntile(n_buckets).over(w).cast("long")
+    above = sum(
+        F.when(F.col("mean_log10_freq") > F.col(f"_t{b}"), 1).otherwise(0)
+        for b in range(1, n_buckets)
+    )
+    bucket = (F.lit(n_buckets) - above).cast("long")
     label = (
         F.when(bucket == 1, F.lit("head"))
         .when(bucket == n_buckets, F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
-    return per_doc.select(
+    return per_doc.join(F.broadcast(ths), "lang").select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -706,7 +730,23 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = PPL_BUCKETS) -> DataFra
     )
 
 
-PPL_BUCKETS_ORACLE = f"""
+def _ppl_buckets_oracle(n_buckets: int = PPL_BUCKETS) -> str:
+    """Threshold-join twin of `perplexity_buckets`. The threshold for
+    quantile b/n over n rows is selected by its INTEGER rank
+    ceil(b*n / n_buckets) — the SQL-standard percentile_disc element
+    ("smallest value with cume_dist >= p"); the value at that sorted
+    position is well-defined under any tie order, so ROW_NUMBER's
+    doc_id tie-break cannot change it."""
+    th_cols = ",\n         ".join(
+        f"MAX(CASE WHEN rn = ({b}::BIGINT * n + {n_buckets - 1}) // {n_buckets} "
+        f"THEN mean_log10_freq END) AS t{b}"
+        for b in range(1, n_buckets)
+    )
+    above = " + ".join(
+        f"(CASE WHEN p.mean_log10_freq > t.t{b} THEN 1 ELSE 0 END)"
+        for b in range(1, n_buckets)
+    )
+    return f"""
 WITH tok AS (
   SELECT doc_id, lang,
          unnest(list_filter(list_transform(string_split_regex(text, '\\s+'),
@@ -721,18 +761,32 @@ per_doc AS (
   FROM tok t JOIN freqs f ON t.token = f.token
   GROUP BY t.doc_id, t.lang
 ),
-bucketed AS (
-  SELECT doc_id, lang, n_tokens, mean_log10_freq,
-         NTILE({PPL_BUCKETS}) OVER (PARTITION BY lang
-                                    ORDER BY mean_log10_freq DESC, doc_id ASC)::BIGINT AS ppl_bucket
+ranked AS (
+  SELECT lang, mean_log10_freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY mean_log10_freq ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
   FROM per_doc
+),
+ths AS (
+  SELECT lang,
+         {th_cols}
+  FROM ranked GROUP BY lang
+),
+bucketed AS (
+  SELECT p.doc_id, p.lang, p.n_tokens, p.mean_log10_freq,
+         ({n_buckets} - ({above}))::BIGINT AS ppl_bucket
+  FROM per_doc p JOIN ths t ON p.lang = t.lang
 )
 SELECT doc_id, lang, n_tokens, mean_log10_freq, ppl_bucket,
        CASE WHEN ppl_bucket = 1 THEN 'head'
-            WHEN ppl_bucket = {PPL_BUCKETS} THEN 'tail'
+            WHEN ppl_bucket = {n_buckets} THEN 'tail'
             ELSE 'middle' END AS bucket_label
 FROM bucketed
 """
+
+
+PPL_BUCKETS_ORACLE = _ppl_buckets_oracle()
 
 
 TEXTSTATS_QUERIES = [

@@ -74,6 +74,23 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     return hits
 
 
+def window_partition_arities(df: DataFrame) -> list[int]:
+    """partitionSpec arity of every physical window node, in DFS order.
+    Complements `unpartitioned_windows` for the KEYED hazard: a window
+    partitioned by a data-independent-small key set (e.g. one language,
+    one query_id) over an unbounded relation funnels corpus/|keys| rows
+    through one task even though its partitionSpec is non-empty. The
+    two-stage `grouped_topk` shape shows up here as one window with
+    arity |keys|+1 (the salt) followed by one with arity |keys| over
+    the ≤ n_salts·k survivors."""
+    arities = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            arities.append(node.partitionSpec().size())
+    return arities
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of distinct codegen stages (formatted explain tags nodes
     with `[codegen id : N]`)."""

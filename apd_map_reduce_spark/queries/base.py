@@ -120,6 +120,10 @@ def grouped_topk(
     a unique tie-break key (the registry-wide rule). `salt_on` must be
     a column that spreads candidates (the neighbor/doc id — NOT a group
     key)."""
+    assert "_lrnk" not in df.columns and rank_name not in df.columns, (
+        f"grouped_topk would overwrite an existing column: "
+        f"{set(df.columns) & {'_lrnk', rank_name}}"
+    )
     salt = F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
     local = Window.partitionBy(*keys, salt).orderBy(*order)
     final = Window.partitionBy(*keys).orderBy(*order)

@@ -159,11 +159,30 @@ def _interleave(families: list[list[QueryDef]]) -> list[QueryDef]:
     return out
 
 
-ALL_QUERIES: list[QueryDef] = _interleave(_FAMILIES)
+# The external gate hashes the first ~50 registry entries each round.
+# Rotating the interleaved order by one window-width per round makes
+# that gate CUMULATIVE: across rounds the driver externally verifies
+# the whole registry, not the same 50-query prefix forever (r6 verdict
+# directive #2). ROUND is committed once per round; the flagship stays
+# pinned at entry 0 (the `entry()` / bench flagship contract).
+ROUND = 7
+_GATE_WINDOW = 49  # driver window (50) minus the pinned flagship
+
+
+def _rotate(qs: list[QueryDef]) -> list[QueryDef]:
+    head, rest = qs[0], qs[1:]
+    off = ((ROUND - 6) * _GATE_WINDOW) % len(rest) if rest else 0
+    return [head] + rest[off:] + rest[:off]
+
+
+ALL_QUERIES: list[QueryDef] = _rotate(_interleave(_FAMILIES))
 
 QUERY_INDEX: dict[str, QueryDef] = {q.name: q for q in ALL_QUERIES}
 
 assert len(QUERY_INDEX) == len(ALL_QUERIES), "duplicate query names"
+# Positional contracts (entry(), bench cold flagship) depend on this —
+# a family reorder or insertion must not silently change entry 0.
+assert ALL_QUERIES[0].name == "corpus_inverted_index", "entry-0 contract"
 
 
 def queries():

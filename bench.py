@@ -47,7 +47,9 @@ def _cold_child(which: str, sf_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = headline_queries()
     if which == "flagship":
-        qs = qs[:1]  # corpus_inverted_index (registry entry 0)
+        # by name, not position — the registry order rotates per round
+        qs = [q for q in qs if q.name == "corpus_inverted_index"]
+        assert qs, "flagship missing from headline set"
     for q in qs:
         _noop(q.fn(spark, sf_dir))
 

@@ -240,9 +240,12 @@ def test_latest_offset_monotone_under_manifest_shrink(tmp_path):
     # momentary truncation (mid-rewrite read)
     manifest.write_text("1\n" + paths[0] + "\n")
     assert reader.latestOffset() == {"index": 3}
-    # recovery + growth resumes normally
+    # recovery restores the high-water mark ...
     manifest.write_text("3\n" + "\n".join(paths) + "\n")
-    manifest.write_text(
-        "3\n" + "\n".join(paths) + "\n"
-    )
     assert reader.latestOffset() == {"index": 3}
+    # ... and growth past it resumes forward progress
+    p4 = tmp_path / "f3.txt"
+    p4.write_text("word\n")
+    paths.append(str(p4))
+    manifest.write_text("4\n" + "\n".join(paths) + "\n")
+    assert reader.latestOffset() == {"index": 4}

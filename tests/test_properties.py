@@ -485,3 +485,49 @@ def test_grouped_topk_matches_single_window(spark):
         .select("grp", "item", "score", "rank")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_percentile_disc_matches_explicit_rank(spark):
+    """perplexity_buckets' threshold aggregation relies on Spark's
+    percentile_disc(p) picking the value at integer rank
+    ceil(p_exact * n) (1-based, ascending) — the SQL-standard "smallest
+    value with cume_dist >= p" element, which is also what the DuckDB
+    oracle selects by ROW_NUMBER. Pin the equivalence on adversarial
+    group sizes (divisible and not divisible by n_buckets, singleton,
+    heavy ties) so a double-rounding boundary flip in either definition
+    fails loudly here rather than as an opaque hash mismatch."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    sizes = [1, 2, 3, 4, 5, 6, 9, 50, 149, 150, 166]
+    rows = []
+    for g, n in enumerate(sizes):
+        for i in range(n):
+            # ties: only ~n/3 distinct values per group
+            rows.append((g, i, float((i * 2654435761) % max(n // 3, 1))))
+    df = spark.createDataFrame(rows, "grp int, item int, score double")
+    nb = 3
+    got = {
+        (r.grp, b): getattr(r, f"t{b}")
+        for r in df.groupBy("grp")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({b / nb!r}) WITHIN GROUP (ORDER BY score)"
+                ).alias(f"t{b}")
+                for b in range(1, nb)
+            ]
+        )
+        .collect()
+        for b in range(1, nb)
+    }
+    by_grp: dict[int, list[float]] = {}
+    for g, _, s in rows:
+        by_grp.setdefault(g, []).append(s)
+    for g, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        for b in range(1, nb):
+            want = vals[math.ceil(b * n / nb) - 1]  # exact rational rank
+            assert got[(g, b)] == want, (g, b, n, got[(g, b)], want)

@@ -201,3 +201,25 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     )
     want = events.filter(F.col("event_type") == "purchase").count()
     assert joined.count() == want
+
+
+def test_explode_nonnull_null_element_divergence(spark):
+    """explode_nonnull's contract is ELEMENT-level: it drops NULL array
+    elements that a plain inner explode would emit (its point is to dodge
+    the InferFiltersFromGenerate re-evaluation trap for producer arrays
+    whose elements are non-null by construction). Pin the divergence so
+    using it over user-data arrays with legitimate NULL elements is a
+    conscious choice, not a silent row loss."""
+    from apd_map_reduce_spark.plans.layout import explode_nonnull
+
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"]), (2, None), (3, [])],
+        "id int, xs array<string>",
+    )
+    helper = explode_nonnull(df, ["id"], "xs", "x").collect()
+    assert sorted((r.id, r.x) for r in helper) == [(1, "a"), (1, "b")]
+    inner = df.select("id", F.explode("xs").alias("x")).collect()
+    # inner explode keeps the NULL ELEMENT (it only skips empty/NULL arrays)
+    assert sorted(((r.id, r.x) for r in inner), key=str) == [
+        (1, "a"), (1, "b"), (1, None),
+    ]
