@@ -18,10 +18,12 @@ Scale design:
     corpus.
   * The positional index groups by word — posting strings for frequent
     words grow with the corpus (same caveat as the reference's
-    per-letter sink files, which this extends). For a 100 TB corpus,
-    cap or shard postings per word before collecting; the aggregation
-    itself stays a single keyed shuffle with map-side partial
-    collect_list.
+    per-letter sink files, which this extends). The doc-partitioned
+    sharded variants (`sharded_positional_index`,
+    `sharded_delta_postings`, shard = doc_id // block) are the 100 TB
+    path: every aggregation group, shuffle key, and output cell is
+    bounded by `block` documents regardless of a word's frequency, and
+    a word's full list is the shard_id-ordered concatenation.
   * Phrase search is a pure scan: the consecutive-token test runs
     array-side per document (higher-order filter over positions), so
     the plan is scan -> filter -> project with zero shuffles.
@@ -287,6 +289,120 @@ g AS (
 SELECT word, COUNT(*)::BIGINT AS df,
        string_agg(gap::VARCHAR, ',' ORDER BY doc_id) AS gaps
 FROM g GROUP BY word
+"""
+
+
+POSTING_SHARD_BLOCK = 128  # docs per posting shard (doc-partitioned index)
+
+
+def _shard(col: str = "doc_id", block: int = POSTING_SHARD_BLOCK) -> Column:
+    """Deterministic doc-range shard key: doc_id // block. Range (not
+    hash) sharding keeps consecutive doc ids together, so within-shard
+    gap encoding preserves the small-delta property the compression
+    relies on."""
+    return (F.col(col) / F.lit(block)).cast("long")
+
+
+def sharded_positional_index(
+    docs: DataFrame, block: int = POSTING_SHARD_BLOCK
+) -> DataFrame:
+    """Doc-partitioned positional index: (word, shard_id,
+    n_postings_part, postings) with each row covering only the docs in
+    one doc-id range shard of `block` documents — the runnable form of
+    the cap-or-shard answer the module docstring gives for hot posting
+    keys. A stop word's postings are spread over corpus/block rows of
+    ≤ block documents each instead of ONE corpus-sized row, so no
+    aggregation group, shuffle key, or output cell grows with the
+    corpus; the full posting list is the shard_id-ordered
+    concatenation (shard_id = doc_id // block is order-preserving).
+
+    Same posting format and (doc_id, pos) order as `positional_index`;
+    the unsharded variant stays registered as the truth/debug tool."""
+    tok = posexplode_nonnull(
+        _tokens_rel(docs), ["doc_id"], "ts", "pos0", "word"
+    ).select(
+        "doc_id",
+        _shard(block=block).alias("shard_id"),
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+    )
+    posting = F.array_sort(F.collect_list(F.struct("doc_id", "pos")))
+    return tok.groupBy("word", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_postings_part"),
+        F.array_join(
+            F.transform(
+                posting,
+                lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def _sharded_positional_oracle(block: int = POSTING_SHARD_BLOCK) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks
+),
+tok AS (
+  SELECT doc_id, doc_id // {block} AS shard_id, i AS pos, ts[i] AS word
+  FROM idx
+)
+SELECT word, shard_id, COUNT(*) AS n_postings_part,
+       string_agg(doc_id::VARCHAR || ':' || pos::VARCHAR, ','
+                  ORDER BY doc_id, pos) AS postings
+FROM tok GROUP BY word, shard_id
+"""
+
+
+def sharded_delta_postings(
+    docs: DataFrame, block: int = POSTING_SHARD_BLOCK
+) -> DataFrame:
+    """Doc-partitioned gap-encoded postings: (word, shard_id, df_part,
+    gaps), each shard's gap stream restarting from the raw doc id (the
+    standard doc-partitioned layout — every shard is independently
+    decodable, which is also what lets a 1000-executor scan decode
+    shards in parallel). The per-word lag window partitions by
+    (word, shard_id), so no window group exceeds `block` rows even for
+    stop words — the keyed-window analogue of the grouped_topk fix.
+
+    Full-list equivalence: concatenating a word's shards in shard_id
+    order and cumulative-summing within each shard reproduces exactly
+    the doc ids of `delta_postings`."""
+    from pyspark.sql.window import Window
+
+    ids = explode_nonnull(
+        _tokens_rel(docs), ["doc_id"], F.array_distinct("ts"), "word"
+    ).distinct().withColumn("shard_id", _shard(block=block))
+    w = Window.partitionBy("word", "shard_id").orderBy("doc_id")
+    g = ids.withColumn(
+        "gap",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id", 1).over(w), F.col("doc_id")),
+    )
+    posting = F.array_sort(F.collect_list(F.struct("doc_id", "gap")))
+    return g.groupBy("word", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("df_part"),
+        F.array_join(
+            F.transform(posting, lambda s: s["gap"].cast("string")), ","
+        ).alias("gaps"),
+    )
+
+
+def _sharded_delta_oracle(block: int = POSTING_SHARD_BLOCK) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+ids AS (SELECT DISTINCT doc_id, unnest(ts) AS word FROM toks),
+g AS (
+  SELECT word, doc_id, doc_id // {block} AS shard_id,
+         COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY word, doc_id // {block}
+                                             ORDER BY doc_id),
+                  doc_id) AS gap
+  FROM ids
+)
+SELECT word, shard_id, COUNT(*)::BIGINT AS df_part,
+       string_agg(gap::VARCHAR, ',' ORDER BY doc_id) AS gaps
+FROM g GROUP BY word, shard_id
 """
 
 
@@ -692,6 +808,16 @@ COOCCUR_QUERIES = [
     QueryDef("text_positional_index", lambda s, d: positional_index(_docs(s, d)), _POSITIONAL_ORACLE),
     QueryDef("text_tfidf_top_terms", lambda s, d: tfidf_top_terms(_docs(s, d)), _TFIDF_ORACLE),
     QueryDef("text_postings_delta", lambda s, d: delta_postings(_docs(s, d)), _DELTA_POSTINGS_ORACLE),
+    QueryDef(
+        "text_positional_index_sharded",
+        lambda s, d: sharded_positional_index(_docs(s, d)),
+        _sharded_positional_oracle(),
+    ),
+    QueryDef(
+        "text_postings_delta_sharded",
+        lambda s, d: sharded_delta_postings(_docs(s, d)),
+        _sharded_delta_oracle(),
+    ),
     QueryDef("text_bigram_logprob", lambda s, d: bigram_logprob(_docs(s, d)), _BIGRAM_ORACLE),
     QueryDef("text_bm25_search", lambda s, d: bm25_search(_docs(s, d)), _bm25_oracle()),
     QueryDef("text_bm25_multi_search", _bm25_multi_docs, _bm25_multi_oracle()),

@@ -972,7 +972,10 @@ def lsh_recall_audit(
     deployment runs this on a SAMPLED slice — n_true_pairs enumerates
     the exact sharing-pair universe, the thing the composed scale path
     exists to avoid — and alarms when measured recall drifts from the
-    curve (hash-family or shingle-universe change).
+    curve (hash-family or shingle-universe change). That sampled
+    deployment is runnable as `lsh_recall_audit_sampled`
+    (registry: dedup_lsh_recall_audit_sampled); this full-universe
+    form is the audit-fixture tool.
 
     Determinism: three exact counts + one round-6 ratio of integers.
     Scale: the three relations are one shared shingling pass; the
@@ -1060,6 +1063,73 @@ SELECT
                   / (SELECT COUNT(*) FROM true_pairs), 6)
   END AS recall6
 """
+
+
+RECALL_SAMPLE_MOD = 4  # audit slice = 1/4 of docs by multiplicative hash
+
+
+def _hash_sampled(docs: DataFrame, sample_mod: int) -> DataFrame:
+    """Deterministic doc slice: keep docs whose Knuth multiplicative
+    hash ((doc_id * 2654435761) mod 2^32) lands in residue 0 mod
+    `sample_mod`. Exact 64-bit integer arithmetic, so the slice is
+    identical cross-engine and uncorrelated with doc-id locality
+    (unlike a bare `doc_id % m`, which would alias any id-assignment
+    pattern straight into the sample)."""
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(sample_mod)
+    return docs.filter(h == 0)
+
+
+def lsh_recall_audit_sampled(
+    docs: DataFrame,
+    sample_mod: int = RECALL_SAMPLE_MOD,
+    threshold: float = NEARDUP_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """`lsh_recall_audit` over a deterministic 1/sample_mod hash-slice
+    of the corpus — the RUNNABLE form of the docstring's "a standing
+    deployment runs this on a SAMPLED slice": the truth side's exact
+    sharing-pair enumeration is confined to the slice, so its pair
+    universe shrinks ~quadratically (1/m² of the full audit) while the
+    measured recall remains an unbiased estimate of the screen's
+    recall (both screen and truth see the same slice, and LSH collision
+    probability per pair is independent of which docs surround it).
+    Full-universe mode (`lsh_recall_audit`) stays registered as the
+    audit-fixture tool."""
+    return lsh_recall_audit(
+        _hash_sampled(docs, sample_mod),
+        threshold=threshold,
+        max_df=max_df,
+        bands=bands,
+        rows=rows,
+    )
+
+
+def _lsh_recall_audit_sampled_oracle(
+    sample_mod: int = RECALL_SAMPLE_MOD,
+    threshold: float = NEARDUP_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> str:
+    """Sampled twin: the full-audit oracle with its corpus scan
+    replaced by the hash-slice CTE (the only `FROM documents` in the
+    composed SQL is the shingle CTE's scan)."""
+    full = _lsh_recall_audit_oracle(
+        threshold=threshold, max_df=max_df, bands=bands, rows=rows
+    )
+    assert full.count("FROM documents") == 1
+    sliced = full.replace("FROM documents", "FROM sampled_docs", 1)
+    return sliced.replace(
+        "WITH ",
+        f"""WITH sampled_docs AS (
+  SELECT * FROM documents
+  WHERE (doc_id * 2654435761) % 4294967296 % {sample_mod} = 0
+),
+""",
+        1,
+    )
 
 
 def _minhash_estimate_oracle(
@@ -1929,6 +1999,13 @@ DEDUP_QUERIES = [
         "dedup_lsh_recall_audit",
         lambda s, d: lsh_recall_audit(_docs(s, d)),
         _lsh_recall_audit_oracle(),
+    ),
+    # The deployable default: same audit on a deterministic 1/m
+    # hash-slice, shrinking the truth side's pair enumeration ~m².
+    QueryDef(
+        "dedup_lsh_recall_audit_sampled",
+        lambda s, d: lsh_recall_audit_sampled(_docs(s, d)),
+        _lsh_recall_audit_sampled_oracle(),
     ),
     # The runnable scale-path composition: LSH screen → exact
     # filtered-universe Jaccard verify (the `candidates` param of the

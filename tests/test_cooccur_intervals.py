@@ -328,3 +328,50 @@ def test_rolling_wau_window_override(spark):
     }
     # 2-day window: day 3 only sees u2 (u1 active day 1 ages out).
     assert got == {"2024-01-01": 1, "2024-01-03": 1}
+
+
+def test_sharded_postings_reconstruct_full_lists(spark):
+    """Doc-partitioned postings are lossless: per word, concatenating
+    shards in shard_id order and cumulative-summing each shard's gap
+    stream must reproduce exactly the doc ids of the unsharded
+    delta_postings — and shard sizes must respect the block bound."""
+    from apd_map_reduce_spark.operators.cooccur import (
+        POSTING_SHARD_BLOCK,
+        delta_postings,
+        sharded_delta_postings,
+        sharded_positional_index,
+    )
+    from apd_map_reduce_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def decode(gaps: str) -> list[int]:
+        ids, acc = [], 0
+        for g in gaps.split(","):
+            acc += int(g)
+            ids.append(acc)
+        return ids
+
+    full = {
+        r.word: decode(r.gaps) for r in delta_postings(docs).collect()
+    }
+    sharded: dict[str, list[tuple[int, list[int]]]] = {}
+    for r in sharded_delta_postings(docs).collect():
+        assert r.df_part <= POSTING_SHARD_BLOCK, (r.word, r.shard_id, r.df_part)
+        got = decode(r.gaps)
+        # every id in this shard belongs to its doc-id range
+        assert all(i // POSTING_SHARD_BLOCK == r.shard_id for i in got)
+        sharded.setdefault(r.word, []).append((r.shard_id, got))
+    rebuilt = {
+        w: [i for _, ids in sorted(parts) for i in ids]
+        for w, parts in sharded.items()
+    }
+    assert rebuilt == full
+
+    # positional shards: per-(word, shard) posting covers ≤ block docs
+    for r in sharded_positional_index(docs).collect():
+        ids = {int(p.split(":")[0]) for p in r.postings.split(",")}
+        assert len(ids) <= POSTING_SHARD_BLOCK
+        assert all(i // POSTING_SHARD_BLOCK == r.shard_id for i in ids)

@@ -40,6 +40,7 @@ SCALAR_BROADCAST_OK = {
     # Recall audit: three single-row COUNT aggregates cross-joined
     # into the one-row summary (1 row x 1 row x 1 row).
     "dedup_lsh_recall_audit",
+    "dedup_lsh_recall_audit_sampled",  # same one-row summary shape
     # IVF-style centroid assignment: every vector must see every
     # centroid; the broadcast side is the K-row centroid pool, bounded
     # by the SEMDEDUP_MAX_CLUSTERS=256 clamp (constant, not data-sized).
