@@ -1,4 +1,5 @@
-"""Generate the sf1 step for the scale harness (scripts/scale_step.py).
+"""Generate the sf1 (and optionally sf10) steps for the scale harness
+(scripts/scale_step.py).
 
 The driver ships sf0.001/0.01/0.1 read-only; the 100 TB question needs
 one more decade to confirm the banding/stop-shingle guards hold across
@@ -18,6 +19,13 @@ Deterministic (numpy default_rng, fixed seed) and written OUTSIDE
 <repo>/.scale/sf1, gitignored; only this generator is committed.
 
 Usage: python scripts/gen_scale_tables.py [out_dir] [sf01_dir]
+           [--doc-mult N] [--emb-mult N]
+
+The multipliers scale relative to the sf0.1 base tables: the defaults
+(10, 4) produce sf1; (100, 16) produces sf10 (500k docs / 32k
+embeddings — each table keeps its per-decade growth ratio, 10x docs
+and 4x embeddings per decade, so growth factors remain comparable
+across ALL decades).
 """
 
 from __future__ import annotations
@@ -34,11 +42,13 @@ REPO = Path(__file__).resolve().parent.parent
 DEFAULT_OUT = REPO / ".scale" / "sf1"
 DEFAULT_SF01 = "/root/testdata/sf0.1"
 SEED = 421
-DOC_MULT = 10
+DOC_MULT = 10  # default: sf1
 EMB_MULT = 4
 
 
-def gen_documents(rng: np.random.Generator, sf01_dir: str, out: Path) -> int:
+def gen_documents(
+    rng: np.random.Generator, sf01_dir: str, out: Path, mult: int = DOC_MULT
+) -> int:
     con = duckdb.connect()
     base = con.sql(
         f"SELECT text, lang, source FROM '{sf01_dir}/documents.parquet'"
@@ -47,7 +57,7 @@ def gen_documents(rng: np.random.Generator, sf01_dir: str, out: Path) -> int:
     lengths = np.array([len(t.split()) for t, _, _ in base])
     langs = np.array([l for _, l, _ in base])
     sources = np.array(sorted({s for _, _, s in base}))
-    n = len(base) * DOC_MULT
+    n = len(base) * mult
 
     pick_len = lengths[rng.integers(0, len(lengths), n)]
     texts = [
@@ -83,8 +93,10 @@ def gen_documents(rng: np.random.Generator, sf01_dir: str, out: Path) -> int:
     return n
 
 
-def gen_embeddings(rng: np.random.Generator, out: Path) -> int:
-    n = 2000 * EMB_MULT
+def gen_embeddings(
+    rng: np.random.Generator, out: Path, mult: int = EMB_MULT
+) -> int:
+    n = 2000 * mult
     labels = rng.integers(0, 10, n)
     centers = rng.normal(0.0, 1.0, (10, 64))
     emb = centers[labels] + rng.normal(0.0, 0.3, (n, 64))
@@ -104,12 +116,22 @@ def gen_embeddings(rng: np.random.Generator, out: Path) -> int:
 
 
 def main() -> int:
-    out = Path(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_OUT
-    sf01 = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_SF01
+    args = list(sys.argv[1:])
+    doc_mult, emb_mult = DOC_MULT, EMB_MULT
+    if "--doc-mult" in args:
+        i = args.index("--doc-mult")
+        doc_mult = int(args[i + 1])
+        del args[i : i + 2]
+    if "--emb-mult" in args:
+        i = args.index("--emb-mult")
+        emb_mult = int(args[i + 1])
+        del args[i : i + 2]
+    out = Path(args[0]) if args else DEFAULT_OUT
+    sf01 = args[1] if len(args) > 1 else DEFAULT_SF01
     out.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(SEED)
-    nd = gen_documents(rng, sf01, out)
-    ne = gen_embeddings(rng, out)
+    rng = np.random.default_rng(SEED if (doc_mult, emb_mult) == (DOC_MULT, EMB_MULT) else SEED + 1)
+    nd = gen_documents(rng, sf01, out, mult=doc_mult)
+    ne = gen_embeddings(rng, out, mult=emb_mult)
     print(f"wrote {out}: documents={nd} embeddings={ne}")
     return 0
 

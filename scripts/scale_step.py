@@ -14,9 +14,13 @@ previous step's per-table ratios) is generated on demand by
 scripts/gen_scale_tables.py into <repo>/.scale/sf1 — /root/testdata is
 read-only — and included automatically, so the banding/stop-shingle
 guards are observed across TWO consecutive decades. Pass --no-sf1 to
-restrict to the driver-shipped dirs.
+restrict to the driver-shipped dirs. Pass --sf10 to add a FIFTH decade
+(<repo>/.scale/sf10: 500k docs / 32k embeddings, generated on demand
+with --doc-mult 100 --emb-mult 16) — run it with --only on the
+scale-path subset; the exact enumerators' pair universe at sf10 is the
+thing their docstrings tell you not to run unsampled.
 
-Usage: python scripts/scale_step.py [out_json] [--no-sf1] [--only q1,q2]
+Usage: python scripts/scale_step.py [out_json] [--no-sf1] [--sf10] [--only q1,q2]
 (--only restricts to a comma-separated subset — partial sweeps for new
 operators; merge into the committed artifact with the full run.)
 """
@@ -36,6 +40,7 @@ from apd_map_reduce_spark.session import get_spark  # noqa: E402
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 SF1_DIR = Path(__file__).resolve().parent.parent / ".scale" / "sf1"
+SF10_DIR = Path(__file__).resolve().parent.parent / ".scale" / "sf10"
 QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -85,7 +90,8 @@ PASSES = 3
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     with_sf1 = "--no-sf1" not in args
-    args = [a for a in args if a != "--no-sf1"]
+    with_sf10 = "--sf10" in args
+    args = [a for a in args if a not in ("--no-sf1", "--sf10")]
     only: list[str] | None = None
     if "--only" in args:
         i = args.index("--only")
@@ -108,6 +114,20 @@ def main() -> None:
                 check=True,
             )
         sf_dirs.append(str(SF1_DIR))
+    if with_sf10:
+        if not (SF10_DIR / "documents.parquet").exists():
+            subprocess.run(
+                [
+                    sys.executable,
+                    str(Path(__file__).parent / "gen_scale_tables.py"),
+                    str(SF10_DIR),
+                    "/root/testdata/sf0.1",
+                    "--doc-mult", "100",
+                    "--emb-mult", "16",
+                ],
+                check=True,
+            )
+        sf_dirs.append(str(SF10_DIR))
 
     spark = get_spark(app_name="scale-step")
     spark.sparkContext.setLogLevel("ERROR")
