@@ -6,10 +6,21 @@ one more decade to confirm the banding/stop-shingle guards hold across
 TWO consecutive steps. This generator extends the family one decade,
 mirroring the sf0.1 tables' shape so growth factors stay comparable:
 
-  documents  — 10x rows (50,000), SAME 31-word vocabulary and length /
-               lang / source distributions (all read from the sf0.1
-               parquet, not hard-coded), similar exact-duplicate
-               (~0.2%) and near-duplicate (~0.4%) plant rates.
+  documents  — 10x rows (50,000), length / lang / source
+               distributions read from the sf0.1 parquet (not
+               hard-coded), similar exact-duplicate (~0.2%) and
+               near-duplicate (~0.4%) plant rates. The vocabulary
+               GROWS with the corpus (Heaps' law, |V| ∝ sqrt(mult)):
+               the sf0.1 base words keep the head ranks of a Zipf(1)
+               unigram law (so fixed query probes like BM25's terms
+               stay present and frequent) and synthetic tail words
+               fill the rest. A CLOSED vocabulary at 500k docs makes
+               every 3-shingle's df exceed the stop-shingle guard
+               (MAX_SHINGLE_DF=256) — measured at sf10: the guarded
+               exact measures lose their entire evidence universe,
+               which no Heaps-law corpus does. Fixture realism is the
+               point of the scale harness; NOTES_r7 §4 records the
+               closed-vocab diagnostic run.
   embeddings — 4x rows (8,000; the sf0.01→sf0.1 step was also 4x),
                10 label-centered gaussian clusters in 64-d, ~1%
                near-identical vector pairs so semantic dedup bites.
@@ -60,9 +71,19 @@ def gen_documents(
     n = len(base) * mult
 
     pick_len = lengths[rng.integers(0, len(lengths), n)]
+    # Heaps-law vocabulary with a Zipf(1) unigram law; base words are
+    # the head ranks so probe terms keep corpus-wide presence.
+    target_vocab = max(len(vocab), int(round(len(vocab) * mult**0.5)))
+    full_vocab = np.array(
+        list(vocab) + [f"w{i:04d}" for i in range(target_vocab - len(vocab))]
+    )
+    zipf_p = 1.0 / np.arange(1, len(full_vocab) + 1, dtype=np.float64)
+    zipf_p /= zipf_p.sum()
+    draws = rng.choice(len(full_vocab), size=int(pick_len.sum()), p=zipf_p)
+    bounds = np.concatenate([[0], np.cumsum(pick_len)])
     texts = [
-        " ".join(vocab[j] for j in rng.integers(0, len(vocab), L))
-        for L in pick_len
+        " ".join(full_vocab[draws[bounds[i] : bounds[i + 1]]])
+        for i in range(n)
     ]
     # plant exact duplicates (~0.2%, the sf0.1 rate) ...
     for _ in range(n // 500):
