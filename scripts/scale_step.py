@@ -83,6 +83,33 @@ QUERIES = [
     # scale path.
     "dedup_minhash_estimate",
     "dedup_lsh_recall_audit",
+    # seventh-session additions: the doc-range-sharded posting lists
+    # (expect inverted-index-like growth with bounded per-key rows —
+    # the runnable answer to the hot-word posting row) and the
+    # hash-sampled recall audit (its truth side enumerates 1/16 of
+    # the pair universe — expect it to shed most of the full audit's
+    # pair-density growth).
+    "text_positional_index_sharded",
+    "text_postings_delta_sharded",
+    "dedup_lsh_recall_audit_sampled",
+]
+
+# The subset whose docstrings claim a 100 TB scale path — the fifth
+# decade (--sf10) is measured for THESE; the exact enumerators' pair
+# universe at sf10 is the thing their docstrings tell you not to run
+# unsampled.
+SCALE_PATH = [
+    "dedup_minhash_lsh",
+    "dedup_lsh_screened_jaccard",
+    "dedup_incremental_neardup",
+    "corpus_clean_snapshot",
+    "corpus_inverted_index",
+    "ann_cosine_topk",
+    "ann_pq_adc_topk",
+    "text_positional_index_sharded",
+    "text_postings_delta_sharded",
+    "dedup_lsh_recall_audit_sampled",
+    "dedup_minhash_estimate",
 ]
 PASSES = 3
 
@@ -91,8 +118,9 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     with_sf1 = "--no-sf1" not in args
     with_sf10 = "--sf10" in args
-    args = [a for a in args if a not in ("--no-sf1", "--sf10")]
-    only: list[str] | None = None
+    scale_path = "--scale-path" in args
+    args = [a for a in args if a not in ("--no-sf1", "--sf10", "--scale-path")]
+    only: list[str] | None = SCALE_PATH if scale_path else None
     if "--only" in args:
         i = args.index("--only")
         if i + 1 >= len(args):
