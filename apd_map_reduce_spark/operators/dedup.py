@@ -681,14 +681,45 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     sh: DataFrame | None = None,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Banded-LSH candidates, verified with exact Jaccard.
+    """Banded-LSH candidates, verified with exact Jaccard — BOTH over
+    the df ≤ `max_df` guarded shingle universe (`stop_shingle_filter`,
+    df counted over the full corpus).
 
     Result = pairs that (a) collide in ≥1 of `bands` bands of the
-    bands*rows-wide signature and (b) have true shingle-Jaccard ≥
-    threshold. Size (bands, rows) with `lsh_collision_probability` so
-    recall at `threshold` meets your target; the defaults give ≥0.96
-    at the default threshold 0.5.
+    bands*rows-wide signature computed over each doc's FILTERED
+    shingle set and (b) have filtered-universe shingle-Jaccard ≥
+    threshold — the same measure `ngram_jaccard_pairs` reports. Size
+    (bands, rows) with `lsh_collision_probability` so recall at
+    `threshold` meets your target; the defaults give ≥0.96 at the
+    default threshold 0.5.
+
+    The guard is load-bearing at scale, twice over:
+
+    * **Provable band-bucket bound.** Every doc in a band bucket
+      contains the argmin shingle of the bucket's first component
+      (equal min-hash value ⇒ same shingle, modulo negligible
+      universal-hash collisions), and every surviving shingle has
+      df ≤ max_df — so NO band bucket exceeds ~max_df docs and the
+      candidate self-join's per-key fan-out is bounded by max_df²
+      regardless of corpus size. Without it, signatures over raw
+      shingles let one Zipf-head shingle with a small hash become the
+      band minimum for tens of thousands of documents: measured on
+      the 500k-doc sf10 fixture, the raw-shingle screen produced a
+      12,637-doc bucket and 7.06e8 candidate pairs (95% from buckets
+      of >100 docs), an 80 GB shuffle that filled the disk; the
+      guarded screen is bounded by construction.
+    * **S-curve alignment.** The exact verify (here and in the
+      screened/audit variants) measures filtered-universe Jaccard, so
+      colliding on raw-shingle signatures screened for the WRONG
+      similarity: a pair with filtered-Jaccard 0.6 whose raw sets are
+      diluted by disjoint stop shingles could sit far below the
+      S-curve knee and be silently missed despite the claimed ≥0.96
+      recall (`test_lsh_screen_finds_stop_diluted_pair` pins the
+      case). With signatures over the same universe as the measure,
+      the collision-probability contract applies to the similarity
+      actually being verified.
 
     Exact duplicates are pre-grouped first: identical texts share
     identical signatures, so an m-copy cluster would make every band
@@ -714,11 +745,16 @@ def minhash_lsh_pairs(
     pass it when the caller already computed (and ideally cached) the
     digest aggregation, e.g. the clean-corpus capstone, so the scan
     isn't repeated. `sh` (optional) is a cached
-    `doc_shingle_hashes(docs)` relation over the FULL corpus — callers
-    that already shingled (e.g. `minhash_estimate_pairs`) pass it so
-    this query doesn't run a second shingling pass; it is restricted
-    to the representative docs internally (a doc's shingles depend
-    only on its text, so the anti-join is exact).
+    `doc_shingle_hashes(docs)` relation over the FULL corpus (RAW —
+    the guard is applied here, so the stop-shingle df counts every
+    copy) — callers that already shingled (e.g.
+    `minhash_estimate_pairs`) pass it so this query doesn't run a
+    second shingling pass; it is restricted to the representative
+    docs internally (a doc's shingles depend only on its text, so the
+    anti-join is exact). Full-corpus df is also what keeps the
+    pre-grouping result-transparent: identical text ⇒ identical raw
+    AND filtered shingle sets ⇒ identical signature/bands/jaccard, so
+    the oracle needs no rep logic.
     """
     digests = docs.select("doc_id", F.md5("text").alias("ch"))
     if clusters is None:
@@ -735,12 +771,14 @@ def minhash_lsh_pairs(
     dup_extras = dup_members.filter(F.col("doc_id") != F.col("rep_id")).select("doc_id")
     rep_docs = docs.join(dup_extras, "doc_id", "left_anti")
 
-    # One materialization of the hashed shingle relation feeds signature
-    # generation AND candidate verification.
+    # ONE shingling pass over the full corpus; the guarded relation
+    # (filtered, rep-restricted) feeds signature generation AND
+    # candidate verification AND the per-doc counts.
     if sh is None:
-        sh = doc_shingle_hashes(rep_docs).cache()
-    else:
-        sh = sh.join(dup_extras, "doc_id", "left_anti")
+        sh = doc_shingle_hashes(docs).cache()
+    sh = stop_shingle_filter(sh, max_df=max_df).join(
+        dup_extras, "doc_id", "left_anti"
+    ).cache()
     sig = minhash_signatures(rep_docs, sh=sh, n_perm=bands * rows)
     band_rel = band_relation(sig, bands=bands, rows=rows)
     # (Measured dead end: candidate generation via ONE groupBy on the
@@ -852,9 +890,13 @@ def _minhash_ctes(
     threshold: float = NEARDUP_THRESHOLD,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> str:
-    """The shared CTE block (shingles → sig → bands → candidates →
-    exact) of `_minhash_oracle` and `_minhash_estimate_oracle`."""
+    """The shared CTE block (shingles → stop-shingle guard → sig →
+    bands → candidates → exact) of `_minhash_oracle` and
+    `_minhash_estimate_oracle` — signatures, candidates, AND the
+    exact verify all over the df ≤ max_df filtered universe, mirroring
+    `minhash_lsh_pairs`."""
     sig_aggs = ",\n    ".join(
         f"MIN(({a} * (sh % 2147483648) + {b}) % {MINHASH_PRIME}) AS h{seed}"
         for seed, (a, b) in enumerate(_mh_params(bands * rows))
@@ -869,10 +911,15 @@ def _minhash_ctes(
         for band in range(bands)
     )
     return f"""{_SHINGLES_CTE},
+shf AS (
+  SELECT shh.doc_id, shh.sh FROM shh
+  JOIN (SELECT sh FROM shh GROUP BY sh HAVING COUNT(*) <= {max_df}) keepsh
+    ON shh.sh = keepsh.sh
+),
 sig AS (
   SELECT doc_id,
     {sig_aggs}
-  FROM shh GROUP BY doc_id
+  FROM shf GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -882,10 +929,10 @@ candidates AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 exact AS (
@@ -932,7 +979,10 @@ def minhash_estimate_pairs(
     k = bands * rows
     sh = doc_shingle_hashes(docs).cache()
     pairs = minhash_lsh_pairs(docs, threshold=threshold, bands=bands, rows=rows, sh=sh)
-    sig = minhash_signatures(docs, sh=sh, n_perm=k)
+    # Agreement is measured on the SAME signatures the screen banded:
+    # over the stop-shingle-guarded universe, so ĵ estimates the
+    # guarded jaccard the verify reports.
+    sig = minhash_signatures(docs, sh=stop_shingle_filter(sh), n_perm=k)
     arr = F.array(*[F.col(f"h{i}") for i in range(k)])
     sig_a = sig.select(F.col("doc_id").alias("doc_a"), arr.alias("sig_a"))
     sig_b = sig.select(F.col("doc_id").alias("doc_b"), arr.alias("sig_b"))
@@ -985,7 +1035,9 @@ def lsh_recall_audit(
     true_pairs = ngram_jaccard_pairs(
         docs, threshold=threshold, max_df=max_df, sh=sh
     ).select("doc_a", "doc_b")
-    cands = lsh_candidate_pairs(docs, bands=bands, rows=rows, sh=sh).cache()
+    cands = lsh_candidate_pairs(
+        docs, bands=bands, rows=rows, sh=sh, max_df=max_df
+    ).cache()
     hits = true_pairs.join(cands, ["doc_a", "doc_b"])
     nt = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1040,7 +1092,7 @@ true_pairs AS (
 sig AS (
   SELECT doc_id,
     {sig_aggs}
-  FROM shh GROUP BY doc_id
+  FROM shf GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -1164,16 +1216,28 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     sh: DataFrame | None = None,
+    max_df: int = MAX_SHINGLE_DF,
+    shf: DataFrame | None = None,
 ) -> DataFrame:
     """UNVERIFIED banded-LSH candidate pairs (doc_a < doc_b): every
-    pair colliding in ≥1 band of the bands·rows MinHash signature.
-    This is the screen half of `minhash_lsh_pairs`, exposed so the
-    exact enumerators can verify a pre-screened relation instead of
-    enumerating the sharing-pair universe (their `candidates` param).
-    `sh` shares a pre-computed `doc_shingle_hashes` relation."""
-    sh = sh if sh is not None else doc_shingle_hashes(docs)
+    pair colliding in ≥1 band of the bands·rows MinHash signature,
+    computed over the df ≤ max_df guarded shingle universe (see
+    `minhash_lsh_pairs` — the guard bounds every band bucket at
+    ~max_df docs and aligns the S-curve with the guarded measure the
+    verifiers report). This is the screen half of `minhash_lsh_pairs`,
+    exposed so the exact enumerators can verify a pre-screened
+    relation instead of enumerating the sharing-pair universe (their
+    `candidates` param). `sh` shares a pre-computed RAW
+    `doc_shingle_hashes` relation (guard applied here); `shf` shares
+    an ALREADY-GUARDED relation (e.g. the screened-jaccard
+    composition's, whose df must count full-corpus copies) and takes
+    precedence."""
+    if shf is None:
+        shf = stop_shingle_filter(
+            sh if sh is not None else doc_shingle_hashes(docs), max_df=max_df
+        )
     band_rel = band_relation(
-        minhash_signatures(docs, sh=sh, n_perm=bands * rows), bands=bands, rows=rows
+        minhash_signatures(docs, sh=shf, n_perm=bands * rows), bands=bands, rows=rows
     )
     a = band_rel.alias("a")
     b = band_rel.alias("b")
@@ -1234,13 +1298,14 @@ def lsh_screened_jaccard_pairs(
 
     # ONE shingling pass over the full corpus: the stop-shingle df must
     # count ALL copies (the plain enumerator's universe), while the
-    # screen/verify run over reps only.
+    # screen/verify run over reps only. Screen and verify share the
+    # SAME guarded relation — the screen's S-curve applies to exactly
+    # the similarity the verify thresholds.
     raw_all = doc_shingle_hashes(docs).cache()
     shf_all = stop_shingle_filter(raw_all, max_df=max_df).cache()
-    raw_rep = raw_all.join(dup_extras, "doc_id", "left_anti")
     shf_rep = shf_all.join(dup_extras, "doc_id", "left_anti")
 
-    candidates = lsh_candidate_pairs(docs, bands=bands, rows=rows, sh=raw_rep)
+    candidates = lsh_candidate_pairs(docs, bands=bands, rows=rows, shf=shf_rep)
 
     counts = shf_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = shf_rep.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1327,10 +1392,11 @@ def _lsh_screened_jaccard_oracle(
     )
     return f"""
 WITH {_SHINGLES_CTE},
+{_PAIR_OVERLAP_CTES},
 sig AS (
   SELECT doc_id,
     {sig_aggs}
-  FROM shh GROUP BY doc_id
+  FROM shf GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -1339,8 +1405,7 @@ candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
-{_PAIR_OVERLAP_CTES}
+)
 SELECT c.doc_a, c.doc_b,
        ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
 FROM candidates c
@@ -1795,6 +1860,7 @@ def dedup_incremental_neardup(
     threshold: float = NEARDUP_THRESHOLD,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Incremental NEAR-dup screening: find incoming batch documents
     whose shingle-Jaccard similarity to some existing corpus document
@@ -1820,10 +1886,34 @@ def dedup_incremental_neardup(
     Recall contract is LSH's: a cross-side pair is reported only if it
     collides in ≥1 of the `bands` bands (same contract as
     `dedup_minhash_lsh`; the oracle mirrors it). The default (b=24,
-    r=3) gives ≥0.96 collision probability at the default threshold."""
+    r=3) gives ≥0.96 collision probability at the default threshold.
+
+    Stop-shingle guard: the CORPUS side owns the stop-list (shingles
+    with corpus-df > `max_df` — in production this is a statistic of
+    the persisted index, exactly like the band relation), and BOTH
+    sides' signatures and shingle sets are filtered by it before
+    banding/verification. The guard bounds every corpus-side band
+    bucket at ~max_df docs (see `minhash_lsh_pairs` — the raw-shingle
+    form measured a 12k-doc bucket at 500k docs), so candidate
+    fan-out is ≤ ~max_df per batch band row: linear in batch size
+    regardless of index size. A shingle hot only in the BATCH is kept
+    (its corpus-side bucket is still small, which is what bounds the
+    join), and the reported jaccard is over the corpus-stop-filtered
+    universe on both sides."""
     n_perm = bands * rows
-    csh = doc_shingle_hashes(corpus).cache()
-    bsh = doc_shingle_hashes(batch).cache()
+    csh_raw = doc_shingle_hashes(corpus).cache()
+    stop = (
+        csh_raw.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    csh = csh_raw.join(F.broadcast(stop), "sh", "left_anti").cache()
+    bsh = (
+        doc_shingle_hashes(batch)
+        .join(F.broadcast(stop), "sh", "left_anti")
+        .cache()
+    )
     cband = band_relation(
         minhash_signatures(corpus, sh=csh, n_perm=n_perm), bands=bands, rows=rows
     )
@@ -1900,11 +1990,18 @@ def _incremental_neardup_oracle(
     )
     return f"""
 WITH {_SHINGLES_CTE},
-sided AS (
+sided_raw AS (
   SELECT doc_id,
          CASE WHEN doc_id % {INCR_BATCH_MOD} = 0 THEN 'b' ELSE 'c' END AS side,
          sh
   FROM shh
+),
+sided AS (
+  SELECT doc_id, side, sh FROM sided_raw
+  WHERE sh NOT IN (
+    SELECT sh FROM sided_raw WHERE side = 'c'
+    GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
+  )
 ),
 sig AS (
   SELECT doc_id, side,

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.operators.dedup import (
+    MAX_SHINGLE_DF,
     NEARDUP_THRESHOLD,
     band_relation,
     doc_shingle_hashes,
@@ -102,11 +103,36 @@ def _screen_and_index(index_path: str, matches_path: str, threshold: float):
             batch_df = batch_df.join(known, "doc_id", "left_anti")
 
         # One materialization of the batch's shingle relation feeds
-        # signatures AND (potential) verification AND the index append.
+        # signatures AND (potential) verification AND the index append
+        # (the index stores RAW shingles so the evolving stop-list is
+        # always computable from it; the guard is applied per screen).
         bsh = doc_shingle_hashes(batch_df).cache()
-        bbands = band_relation(minhash_signatures(batch_df, sh=bsh))
 
-        if cband is not None and csh is not None:
+        # Stop-shingle guard (mirrors dedup_incremental_neardup): the
+        # INDEX owns the stop-list — shingles with index-df > max_df —
+        # and both sides' signatures and shingle sets are filtered by
+        # it, bounding every index-side band bucket at ~max_df docs.
+        # Persisted band rows were signed under the stop-list at THEIR
+        # admission time; a shingle that crosses the threshold later
+        # leaves stale band rows, but their buckets stop growing (a
+        # stopped shingle can no longer be any new signature's argmin),
+        # so bucket sizes stay bounded by ~max_df + one batch. An index
+        # rebuild re-signs under the current stop-list.
+        if csh is not None:
+            stop = (
+                csh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > MAX_SHINGLE_DF)
+                .select("sh")
+            )
+            cshf = csh.join(F.broadcast(stop), "sh", "left_anti")
+            bshf = bsh.join(F.broadcast(stop), "sh", "left_anti")
+        else:
+            cshf = None
+            bshf = bsh
+        bbands = band_relation(minhash_signatures(batch_df, sh=bshf))
+
+        if cband is not None and cshf is not None:
             candidates = (
                 bbands.alias("b")
                 .join(
@@ -120,14 +146,14 @@ def _screen_and_index(index_path: str, matches_path: str, threshold: float):
                 )
                 .distinct()
             )
-            bcounts = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
-            ccounts = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+            bcounts = bshf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+            ccounts = cshf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
             common = (
                 candidates.join(
-                    bsh.select(F.col("doc_id").alias("batch_doc"), "sh"), "batch_doc"
+                    bshf.select(F.col("doc_id").alias("batch_doc"), "sh"), "batch_doc"
                 )
                 .join(
-                    csh.select(F.col("doc_id").alias("corpus_doc"), "sh"),
+                    cshf.select(F.col("doc_id").alias("corpus_doc"), "sh"),
                     ["corpus_doc", "sh"],
                 )
                 .groupBy("batch_doc", "corpus_doc")
