@@ -12,8 +12,12 @@ PERSISTED corpus LSH index before being admitted to it:
           → batch's own shingles+bands appended to the index
 
 The index is two parquet relations under `index_path`:
-    shingles/  (doc_id, sh)            — for exact verification
-    bands/     (doc_id, band, band_hash) — for candidate generation
+    shingles/  (doc_id, sh)            — RAW (unguarded) shingle sets,
+      for exact verification AND for deriving the stop-shingle list
+      (shingles with index-df > MAX_SHINGLE_DF) that guards each
+      screen — see the stop-list comment in _screen_and_index
+    bands/     (doc_id, band, band_hash) — for candidate generation,
+      signed over the stop-filtered universe at admission time
       (band_hash = STRUCT of the band's minhash values since the
       digest-free band keys change; indexes persisted by the older
       md5-string format are REJECTED at startup with a rebuild-required
