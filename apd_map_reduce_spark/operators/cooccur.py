@@ -299,8 +299,10 @@ def _shard(col: str = "doc_id", block: int = POSTING_SHARD_BLOCK) -> Column:
     """Deterministic doc-range shard key: doc_id // block. Range (not
     hash) sharding keeps consecutive doc ids together, so within-shard
     gap encoding preserves the small-delta property the compression
-    relies on."""
-    return (F.col(col) / F.lit(block)).cast("long")
+    relies on. Integer `div` (not a float divide + cast) so the key is
+    exact for any block size and any 64-bit id, matching the oracles'
+    `doc_id // block`."""
+    return F.expr(f"{col} div {block}")
 
 
 def sharded_positional_index(

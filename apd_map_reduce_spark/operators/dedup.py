@@ -1120,15 +1120,49 @@ SELECT
 RECALL_SAMPLE_MOD = 4  # audit slice = 1/4 of docs by multiplicative hash
 
 
+# The sampling hash must be PAIRWISE independent for adjacent ids,
+# not merely uniform. A Knuth multiplicative hash fails this no
+# matter which bits are kept: the low bits literally equal
+# doc_id % 2^s (K ≡ 1 mod 16), and even a high-bit range selection
+# h(x) < 2^32/m can never keep x AND x+1, because h(x+1) = h(x) + K
+# (mod 2^32) is a fixed stride — the two acceptance windows
+# [0, 2^32/m) and [2^32−K, 2^32−K+2^32/m) are disjoint for m ≥ 2.
+# Scale fixtures plant near-duplicates at ADJACENT doc ids, so a
+# multiplicative slice strips the exact signal the sampled recall
+# audit exists to monitor. md5 of the decimal id string avalanches
+# (no linear structure), is byte-identical in Spark and DuckDB, and
+# involves no 64-bit arithmetic that could overflow on huge ids.
+# Fixed-width lowercase hex compares lexicographically == numerically,
+# so "first 4 hex chars < 0x10000/m" is an exact 1/m slice whenever
+# m divides 2^16.
+def _hex_slice_bound(sample_mod: int) -> str:
+    assert 65536 % sample_mod == 0, "sample_mod must divide 2^16"
+    return format(65536 // sample_mod, "04x")
+
+
+def _hash_slice_sql(sample_mod: int, col: str = "doc_id") -> str:
+    return f"substr(md5({col}::VARCHAR), 1, 4) < '{_hex_slice_bound(sample_mod)}'"
+
+
+def _hash_slice_predicate(sample_mod: int) -> Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.lit(
+        _hex_slice_bound(sample_mod)
+    )
+
+
 def _hash_sampled(docs: DataFrame, sample_mod: int) -> DataFrame:
-    """Deterministic doc slice: keep docs whose Knuth multiplicative
-    hash ((doc_id * 2654435761) mod 2^32) lands in residue 0 mod
-    `sample_mod`. Exact 64-bit integer arithmetic, so the slice is
-    identical cross-engine and uncorrelated with doc-id locality
-    (unlike a bare `doc_id % m`, which would alias any id-assignment
-    pattern straight into the sample)."""
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(sample_mod)
-    return docs.filter(h == 0)
+    """Deterministic doc slice: keep docs whose md5(doc_id-as-string)
+    hex digest starts below 0x10000/m in its first four hex chars —
+    an exact 1/m fraction (m | 2^16) selected by a hash with real
+    avalanche. An md5 slice (rather than a multiplicative hash) is
+    load-bearing: multiplicative hashes of consecutive integers form
+    a fixed-stride sequence, so any residue OR range selection on
+    them can never keep two ADJACENT ids — and the scale fixtures
+    plant near-dup pairs at adjacent ids, which such a slice would
+    silently strip from the audit's truth set. md5 of the decimal
+    string is byte-identical in Spark and DuckDB and overflow-free
+    for any id."""
+    return docs.filter(_hash_slice_predicate(sample_mod))
 
 
 def lsh_recall_audit_sampled(
@@ -1177,7 +1211,7 @@ def _lsh_recall_audit_sampled_oracle(
         "WITH ",
         f"""WITH sampled_docs AS (
   SELECT * FROM documents
-  WHERE (doc_id * 2654435761) % 4294967296 % {sample_mod} = 0
+  WHERE {_hash_slice_sql(sample_mod)}
 ),
 """,
         1,

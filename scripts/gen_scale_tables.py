@@ -53,6 +53,13 @@ REPO = Path(__file__).resolve().parent.parent
 DEFAULT_OUT = REPO / ".scale" / "sf1"
 DEFAULT_SF01 = "/root/testdata/sf0.1"
 SEED = 421
+# Fixture population version, stamped into every output dir. v1 =
+# pre-round-7 closed-vocabulary generator; v2 = Heaps-law vocabulary +
+# new rng draw order (round 7) — SAME seed, DIFFERENT population, so
+# growth factors are only comparable within a version: SCALING_r4-r6
+# sf1 rows are v1, SCALING_r7+ rows are v2. The seed stays fixed so
+# the r7 sf10 artifacts remain regenerable bit-exact.
+FIXTURE_VERSION = 2
 DOC_MULT = 10  # default: sf1
 EMB_MULT = 4
 
@@ -153,7 +160,11 @@ def main() -> int:
     rng = np.random.default_rng(SEED if (doc_mult, emb_mult) == (DOC_MULT, EMB_MULT) else SEED + 1)
     nd = gen_documents(rng, sf01, out, mult=doc_mult)
     ne = gen_embeddings(rng, out, mult=emb_mult)
-    print(f"wrote {out}: documents={nd} embeddings={ne}")
+    (out / "FIXTURE_VERSION").write_text(f"{FIXTURE_VERSION}\n")
+    print(
+        f"wrote {out}: documents={nd} embeddings={ne}"
+        f" fixture_version={FIXTURE_VERSION}"
+    )
     return 0
 
 

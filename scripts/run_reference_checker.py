@@ -160,18 +160,24 @@ def main() -> None:
             return None
 
         block_gates: dict[str, list[str]] = {}
-        n_blocks = repeat // block
+        # Every sweep counts: a trailing partial block (repeat % block)
+        # scores as a short block rather than being silently dropped,
+        # and repeat < block degrades to one block, not zero.
+        n_blocks = (repeat + block - 1) // block
         for m, r in THRESHOLDS:
             gates = []
             for bi in range(n_blocks):
                 chunk = runs[bi * block : (bi + 1) * block]
-                seq_min = min(
+                seq_vals = [
                     v for run in chunk if (v := cfg_pipeline(run, 1, 1)) is not None
-                )
-                cfg_min = min(
+                ]
+                cfg_vals = [
                     v for run in chunk if (v := cfg_pipeline(run, m, r)) is not None
-                )
-                spp = seq_min / cfg_min
+                ]
+                if not seq_vals or not cfg_vals:
+                    gates.append("ABSENT")
+                    continue
+                spp = min(seq_vals) / min(cfg_vals)
                 full, partial = THRESHOLDS[(m, r)]
                 gates.append(
                     "full" if spp >= full else ("partial" if spp >= partial else "FAIL")
