@@ -38,7 +38,7 @@ from apd_map_reduce_spark.operators.dedup import (
     stop_shingle_filter,
 )
 from apd_map_reduce_spark.functions.text import null_safe_size
-from apd_map_reduce_spark.queries.base import QueryDef
+from apd_map_reduce_spark.queries.base import QueryDef, grouped_topk, two_phase_rank
 from apd_map_reduce_spark.sources.tables import load_table
 
 EVAL_PCT = 10
@@ -75,19 +75,25 @@ GROUP BY 1, 2
 
 def stratified_sample_exact(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
     """Deterministic stratified sample: per lang, the k docs with the
-    smallest md5-derived sample key. One window partitioning per
-    stratum — no global sort, no RNG; the hash order is uniform over
-    docs so the sample is unbiased, and deterministic so it is
-    reproducible (and oracle-checkable)."""
-    from pyspark.sql.window import Window
+    smallest md5-derived sample key. No RNG; the hash order is uniform
+    over docs so the sample is unbiased, and deterministic so it is
+    reproducible (and oracle-checkable).
 
+    Ranked through the two-stage `grouped_topk`, NOT a bare
+    `row_number over (partition by lang)`: lang is a handful of
+    values, so the single-window form ranks corpus/|langs| rows
+    through one task at any scale. (hash, doc_id) is already a total
+    order, so the salted rewrite is output-identical."""
     key = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
-    return (
-        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("lang", "rnk", "doc_id")
-    )
+    keyed = docs.select("lang", "doc_id", key.alias("_skey"))
+    return grouped_topk(
+        keyed,
+        ["lang"],
+        (F.col("_skey").asc(), F.col("doc_id").asc()),
+        k,
+        salt_on="doc_id",
+        rank_name="rnk",
+    ).select("lang", "rnk", "doc_id")
 
 
 SAMPLE_ORACLE = f"""
@@ -250,27 +256,61 @@ FROM c
 CHUNKS_ORACLE_SQL = CHUNKS_ORACLE.format(tokens_sql=_TOKENS_SQL)
 
 
-def pack_token_shards(docs: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
+PACK_BLOCK_DOCS = 4096  # docs per prefix-sum block (two-level scan)
+
+
+def pack_token_shards(
+    docs: DataFrame, budget: int = SHARD_TOKENS, block: int = PACK_BLOCK_DOCS
+) -> DataFrame:
     """Offset-based shard packing: docs are laid out in doc_id order
     inside each language and a doc belongs to the shard its cumulative
     start offset falls in (floor(cum_before / budget)) — the standard
     "concatenate then cut every B tokens" sharding, at doc granularity.
 
-    Scale: the running sum is PARTITIONED by lang (a per-language shard
-    layout is what a curriculum/mixture loader wants anyway) — no
-    global unpartitioned window, which would serialize 100 TB through
-    one task. Returns per-shard stats, not per-doc rows."""
+    Scale: the running sum is a TWO-LEVEL prefix sum (the classic
+    parallel-scan decomposition), not a per-lang running window — a
+    window partitioned by lang is global per stratum and pushes
+    corpus/|langs| rows through one task. Level 1 aggregates token
+    totals per (lang, doc_id div block) — distributed, map-side
+    partial. Level 2 prefix-sums the block-partial relation (block×
+    smaller than the corpus; the only ordered window, and its input
+    is the aggregated relation). Block offsets join back on
+    (lang, block) — the same key the level-3 within-block window
+    partitions on, so the exchange is reused — and each within-block
+    group holds ≤ block rows by construction. Output identical to the
+    single-window form because blk = doc_id div block is monotone in
+    doc_id. Returns per-shard stats, not per-doc rows."""
     from pyspark.sql.window import Window
 
     counts = docs.select(
-        "lang", "doc_id", null_safe_size(normalized_tokens()).cast("long").alias("n_tokens")
+        "lang",
+        "doc_id",
+        null_safe_size(normalized_tokens()).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {block}").alias("blk"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+    block_tot = counts.groupBy("lang", "blk").agg(
+        F.sum("n_tokens").alias("blk_tokens")
+    )
+    w_blk = Window.partitionBy("lang").orderBy("blk").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    offsets = block_tot.select(
+        "lang",
+        "blk",
+        F.coalesce(F.sum("blk_tokens").over(w_blk), F.lit(0).cast("long")).alias(
+            "blk_before"
+        ),
+    )
+    w_in = Window.partitionBy("lang", "blk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_in_blk = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
     return (
-        counts.withColumn("shard_id", F.floor(cum_before / budget).cast("long"))
+        counts.join(offsets, ["lang", "blk"])
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("blk_before") + cum_in_blk) / budget).cast("long"),
+        )
         .groupBy("lang", "shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -402,11 +442,17 @@ def training_shuffle_order(
     order (no RNG, engine-identical); shard = 60-bit key prefix mod
     n_shards; pos = rank within the shard by (key, doc_id).
 
-    Scale posture: no global sort — each shard orders its own subset
-    (one hash shuffle + per-partition sort). Readers stream shard s in
-    pos order; epoch reshuffles are just a new seed."""
-    from pyspark.sql.window import Window
-
+    Scale posture: pos is a POSITIONAL rank, so it goes through
+    `two_phase_rank`, not a per-shard window — with a fixed n_shards
+    (16 by default: shard count is a loader-topology constant, not
+    corpus-proportional) a bare window funnels corpus/n_shards rows
+    through one task. The rank's range buckets are the first two hex
+    chars of the shuffle key (fixed-width lowercase hex compares
+    lexicographically == numerically, so the bucket is monotone in
+    skey and uniform by md5), giving shards × 256 distributed cells;
+    the only ordered full-shard window runs over the 256-row-per-shard
+    bucket-count relation. Readers stream shard s in pos order; epoch
+    reshuffles are just a new seed."""
     key = F.md5(
         F.concat_ws(":", F.lit("shuffle"), F.lit(seed), F.col("doc_id"))
     )
@@ -417,10 +463,14 @@ def training_shuffle_order(
             "shard"
         ),
     )
-    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
-    return df.select(
-        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
-    )
+    return two_phase_rank(
+        df,
+        ["shard"],
+        (F.asc("skey"), F.asc("doc_id")),
+        bucket=F.substring("skey", 1, 2),
+        rank_name="pos",
+        n_name="_n",
+    ).select("doc_id", "shard", "pos")
 
 
 SHUFFLE_ORDER_ORACLE = f"""

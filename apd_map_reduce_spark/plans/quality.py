@@ -91,6 +91,117 @@ def window_partition_arities(df: DataFrame) -> list[int]:
     return arities
 
 
+# Columns whose cardinality is a property of the DOMAIN, not the data
+# volume: languages, nations, market segments, part types/brands,
+# return/status flags, sources, shard/band/query-id constants. A window
+# partitioned ONLY by these funnels an unbounded fraction of its input
+# (corpus/|values|) through one task at 100 TB even though its
+# partitionSpec is non-empty — the class the r7 per-query sweeps missed
+# three rounds running (stratified_sample, pack_token_shards, q2,
+# above_nation_avg, ntile, percent_rank).
+SMALL_CARDINALITY_COLS = frozenset(
+    {
+        "lang",
+        "source",
+        "split",
+        "shard",
+        "band",
+        "label",
+        "query_id",
+        "event_type",
+        "c_nationkey",
+        "s_nationkey",
+        "n_nationkey",
+        "n_regionkey",
+        "n_name",
+        "r_name",
+        "c_mktsegment",
+        "p_type",
+        "p_brand",
+        "p_size",
+        "p_container",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipmode",
+        "o_orderstatus",
+        "o_orderpriority",
+    }
+)
+
+_AGG_NODE_CLASSES = (
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+)
+_WINDOW_NODE_CLASSES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
+
+
+def _expr_key_names(spec) -> list[str]:
+    """Names of a partitionSpec / grouping Seq's expressions: bare
+    attribute references resolve to their column name; anything
+    composite (pmod salt, div block, hash keys) becomes an <expr:...>
+    marker — composite keys are by construction not in the
+    small-cardinality column set."""
+    import re
+
+    names = []
+    for i in range(spec.size()):
+        s = spec.apply(i).toString()
+        m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]*", s)
+        names.append(m.group(1) if m else f"<expr:{s[:48]}>")
+    return names
+
+
+def _subtree_agg_groupings(node) -> list[set[str]]:
+    out = []
+    for n in _iter_plan_nodes(node):
+        if n.getClass().getSimpleName() in _AGG_NODE_CLASSES:
+            out.append(set(_expr_key_names(n.groupingExpressions())))
+    return out
+
+
+def small_key_window_hazards(
+    df: DataFrame, small: frozenset[str] = SMALL_CARDINALITY_COLS
+) -> list[tuple[str, tuple[str, ...]]]:
+    """Physical window nodes partitioned ONLY by known-small-cardinality
+    columns over an input that is not provably reduced — the keyed
+    scale hazard (corpus/|values| rows through one task at 100 TB).
+
+    Two structural exemptions encode the repo's sanctioned shapes:
+
+    * SALTED SIBLING (the `grouped_topk` two-stage top-k): another
+      window in the same plan partitions by a strict superset of this
+      window's keys (keys + the salt expression) — the flagged window
+      then ranks only the ≤ n_salts·k survivors of the salted stage.
+    * AGGREGATED INPUT (the two-level prefix-sum / `two_phase_rank`
+      offsets): somewhere below the window an aggregation groups by a
+      strict superset of the window's keys (keys + block/bucket), so
+      the window's input relation is the per-(key, block) aggregate,
+      reduced by the block factor, not the raw corpus.
+
+    Anything else must be whitelisted BY NAME in the registry-wide
+    test with a bounded-input justification."""
+    plan_windows = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() in _WINDOW_NODE_CLASSES:
+            plan_windows.append(
+                (node.getClass().getSimpleName(), _expr_key_names(node.partitionSpec()), node)
+            )
+    hazards = []
+    for cls, names, node in plan_windows:
+        if not names:
+            continue  # the unpartitioned-window gate owns this case
+        keyset = set(names)
+        if not keyset <= small:
+            continue
+        if any(keyset < set(other) for _, other, _ in plan_windows):
+            continue  # salted sibling
+        if any(keyset < g for g in _subtree_agg_groupings(node)):
+            continue  # aggregated (block-reduced) input
+        hazards.append((cls, tuple(names)))
+    return hazards
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of distinct codegen stages (formatted explain tags nodes
     with `[codegen id : N]`)."""

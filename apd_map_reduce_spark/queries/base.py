@@ -136,6 +136,68 @@ def grouped_topk(
     )
 
 
+def two_phase_rank(
+    df: DataFrame,
+    keys: list,
+    order: tuple[Column, ...],
+    bucket: Column,
+    bucket_desc: bool = False,
+    rank_name: str = "rank",
+    n_name: str = "n_rows",
+) -> DataFrame:
+    """Scale-safe EXACT per-group positional rank (1..n) + group size.
+
+    Positional functions (ntile, percent_rank, cume_dist, full-group
+    row_number) cannot pre-prune the way top-k can — every row's rank
+    is in the output — so the scale answer is the two-phase rank:
+    range-partition each group by a coarse monotone function of the
+    sort key, count rows per (group, range) — a distributed, map-side-
+    partial aggregation — prefix-sum the tiny count relation into
+    per-range offsets, then row_number WITHIN each range and add the
+    offset. No task ever sees more than one range of one group; the
+    only ordered full-group window runs over the |groups|·|ranges|
+    count relation.
+
+    `bucket` must be a deterministic coarse function of the FIRST sort
+    key, monotone in the same direction (`bucket_desc` matches the
+    primary key's direction), and constant across rows that tie on it
+    — e.g. `floor(c_acctbal / 100)` for an acctbal sort. Output is
+    then identical to `row_number over (partition by keys order by
+    order)` (which equals rank/cume counts when `order` ends in a
+    unique tie-break, the registry-wide rule) plus the group size
+    `n_name` — the two inputs every positional function is a pure
+    integer expression of."""
+    reserved = {"_bkt", "_bn", "_off", rank_name, n_name}
+    assert not reserved & set(df.columns), (
+        f"two_phase_rank would overwrite existing column(s): "
+        f"{reserved & set(df.columns)}"
+    )
+    b = df.withColumn("_bkt", bucket)
+    cnt = b.groupBy(*keys, "_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    bord = F.col("_bkt").desc() if bucket_desc else F.col("_bkt").asc()
+    w_off = Window.partitionBy(*keys).orderBy(bord).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.partitionBy(*keys).orderBy(bord).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = cnt.select(
+        *keys,
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0).cast("long")).alias("_off"),
+        F.sum("_bn").over(w_tot).alias(n_name),
+    )
+    w_local = Window.partitionBy(*keys, "_bkt").orderBy(*order)
+    return (
+        b.join(offsets, [*keys, "_bkt"])
+        .withColumn(
+            rank_name,
+            (F.row_number().over(w_local) + F.col("_off")).cast("long"),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
 def money(col: Column) -> Column:
     """Decimal-domain round to cents, then double.
 

@@ -20,7 +20,9 @@ from apd_map_reduce_spark.queries.base import (
     bounded_const_key,
     dec2,
     dec6,
+    grouped_topk,
     money,
+    two_phase_rank,
 )
 from apd_map_reduce_spark.sources.tables import load_table
 
@@ -429,15 +431,19 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- windows ---------------------------------------------------------------
 
 def window_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    """Top-3 per nation through the two-stage `grouped_topk` — the
+    sanctioned per-group top-k shape (25 nations would otherwise rank
+    |customer|/25 rows through one task; the order carries a unique
+    tie-break, so the salted rewrite is output-identical)."""
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        c.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
-    )
+    return grouped_topk(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        (F.desc("c_acctbal"), F.asc("c_custkey")),
+        3,
+        salt_on="c_custkey",
+        rank_name="rnk",
+    ).select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
 
 
 WINDOW_RANK_ORACLE = """
@@ -1139,13 +1145,18 @@ GROUP BY supp_nation, cust_nation, ship_year
 def q2_min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: rows matching their group's minimum (parts at
     the minimum retail price within their type) — correlated scalar
-    subquery decorrelated to a window min."""
-    from pyspark.sql.window import Window
+    subquery decorrelated to an aggregate + broadcast join back.
 
+    NOT a `min over (partition by p_type)` window: p_type has ~150
+    values, so that window funnels |part|/150 rows per task at any
+    scale. The frame is unordered, so groupBy(p_type).min() joined
+    back is exact and identical in output — the aggregation is
+    map-side partial (near-free), and the ~150-row min relation
+    broadcasts."""
     p = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_type")
+    mins = p.groupBy("p_type").agg(F.min("p_retailprice").alias("min_price"))
     return (
-        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        p.join(F.broadcast(mins), "p_type")
         .filter(F.col("p_retailprice") == F.col("min_price"))
         .select("p_type", "p_partkey", "p_brand", "p_retailprice")
     )
@@ -1258,13 +1269,16 @@ GROUP BY p_brand, p_type
 
 def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery semantics (balance above own nation's
-    average) as a window expression — Spark's idiomatic decorrelation."""
-    from pyspark.sql.window import Window
+    average) decorrelated to an aggregate + broadcast join back.
 
+    NOT an `avg over (partition by c_nationkey)` window: 25 nations
+    means the window funnels |customer|/25 rows per task at any
+    scale. The frame is unordered, so groupBy.avg joined back is
+    exact with a map-side partial aggregate and a 25-row broadcast."""
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey")
+    avgs = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
     return (
-        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        c.join(F.broadcast(avgs), "c_nationkey")
         .filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_nationkey", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
     )
@@ -1440,14 +1454,30 @@ FROM orders
 
 
 def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    """NTILE(4) within each market segment — through `two_phase_rank`,
+    not a bare ntile window: 5 segments means the single-window form
+    ranks |customer|/5 rows per task at any scale. The order
+    (acctbal desc, custkey asc) is unique, so ntile is a pure integer
+    function of (rank, n): the first n%4 tiles take ceil(n/4) rows and
+    the rest take floor(n/4) — identical to the window ntile."""
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
-        "c_mktsegment",
-        "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("wealth_quartile"),
+    ranked = two_phase_rank(
+        c.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"],
+        (F.desc("c_acctbal"), F.asc("c_custkey")),
+        bucket=F.floor(F.col("c_acctbal") / 100).cast("long"),
+        bucket_desc=True,
+        rank_name="_r",
+        n_name="_n",
+    )
+    tile = F.expr(
+        "CASE WHEN _r <= (_n % 4) * ((_n + 3) div 4)"
+        " THEN (_r - 1) div ((_n + 3) div 4) + 1"
+        " ELSE (_n % 4) + (_r - 1 - (_n % 4) * ((_n + 3) div 4)) div (_n div 4) + 1"
+        " END"
+    )
+    return ranked.select(
+        "c_mktsegment", "c_custkey", tile.cast("long").alias("wealth_quartile")
     )
 
 
@@ -2564,21 +2594,37 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     land exactly on a .5 rounding boundary and the engines' native
     round() disagree there (found at sf0.1: 3/15000 rows off by 1e-6
     under round(); the explicit floor form is the same IEEE op
-    sequence in both engines)."""
-    from pyspark.sql.window import Window
+    sequence in both engines).
+
+    Ranks come from `two_phase_rank`, not a bare distribution window:
+    25 nations means the single-window form pushes |customer|/25 rows
+    per task at any scale. The order (acctbal asc, custkey asc) is
+    unique, so every row is its own peer group and both functions are
+    pure rationals of (rank, n): pct_rank = (rank-1)/(n-1) (0 when
+    n=1, the window functions' own convention), cume = rank/n —
+    identical to the window forms the oracle runs."""
 
     def r6(col):
         return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.asc("c_acctbal"), F.asc("c_custkey")
+    ranked = two_phase_rank(
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_nationkey"],
+        (F.asc("c_acctbal"), F.asc("c_custkey")),
+        bucket=F.floor(F.col("c_acctbal") / 100).cast("long"),
+        rank_name="_r",
+        n_name="_n",
     )
-    return c.select(
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_r") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+    )
+    cume = F.col("_r").cast("double") / F.col("_n").cast("double")
+    return ranked.select(
         "c_custkey",
         "c_nationkey",
-        r6(F.percent_rank().over(w)).alias("pct_rank"),
-        r6(F.cume_dist().over(w)).alias("cume"),
+        r6(pct).alias("pct_rank"),
+        r6(cume).alias("cume"),
     )
 
 

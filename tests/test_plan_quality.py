@@ -103,6 +103,77 @@ def test_no_unpartitioned_windows(spark, qdef):
     )
 
 
+# Queries whose small-key window is bounded by construction in a way
+# the structural exemptions (salted sibling / aggregated input) can't
+# see. Every entry needs a justification — an empty whitelist is the
+# goal state.
+SMALL_KEY_WINDOW_WHITELIST: dict[str, str] = {}
+
+
+@pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
+def test_no_small_key_windows_over_unbounded_input(spark, qdef):
+    """Class gate (r7 verdict #1): no registry query may plan a window
+    partitioned ONLY by known-small-cardinality columns (lang, nation,
+    segment, type, flag, …) over an input that is not provably
+    reduced — the corpus/|values|-rows-through-one-task shape that
+    per-query sweeps missed three rounds running. Sanctioned shapes
+    pass structurally: `grouped_topk`'s final stage has a salted
+    sibling window, and the two-level prefix-sum's offsets window sits
+    on a (keys ⊂ grouping) aggregate. Anything else must be fixed or
+    whitelisted here with a bounded-input justification."""
+    from apd_map_reduce_spark.plans.quality import small_key_window_hazards
+
+    if qdef.name in SMALL_KEY_WINDOW_WHITELIST:
+        pytest.skip(SMALL_KEY_WINDOW_WHITELIST[qdef.name])
+    hits = small_key_window_hazards(qdef.fn(spark, SF_SMOKE))
+    assert not hits, (
+        f"{qdef.name} plans {len(hits)} small-cardinality-keyed window "
+        f"node(s) over unreduced input: {hits} — rank through "
+        "grouped_topk / two_phase_rank, rewrite the unordered window as "
+        "agg+broadcast-join, or whitelist with a justification"
+    )
+
+
+def test_small_key_window_detector_positive_and_exemptions(spark):
+    """The class gate's detector itself: a bare lang-keyed window over
+    the raw corpus IS flagged (this is the shape stratified_sample /
+    pack_token_shards / q2 / above_nation_avg / ntile / percent_rank
+    all had); the two sanctioned rewrites are NOT — grouped_topk via
+    the salted-sibling exemption, two_phase_rank via the
+    aggregated-input exemption."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from apd_map_reduce_spark.plans.quality import small_key_window_hazards
+    from apd_map_reduce_spark.queries.base import grouped_topk, two_phase_rank
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    bad = docs.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("lang").orderBy("doc_id")),
+    )
+    hits = small_key_window_hazards(bad)
+    assert hits and all(keys == ("lang",) for _, keys in hits), hits
+
+    topk = grouped_topk(
+        docs.select("lang", "doc_id"),
+        ["lang"],
+        (F.asc("doc_id"),),
+        5,
+        salt_on="doc_id",
+    )
+    assert small_key_window_hazards(topk) == []
+
+    ranked = two_phase_rank(
+        docs.select("lang", "doc_id"),
+        ["lang"],
+        (F.asc("doc_id"),),
+        bucket=F.expr("doc_id div 1024"),
+    )
+    assert small_key_window_hazards(ranked) == []
+
+
 def test_ppl_buckets_plans_no_window(spark):
     """r6 verdict weak #2: CCNet perplexity bucketing previously
     ntile'd each language's ENTIRE per-doc relation through one task
