@@ -24,6 +24,23 @@ mirroring the sf0.1 tables' shape so growth factors stay comparable:
   embeddings — 4x rows (8,000; the sf0.01→sf0.1 step was also 4x),
                10 label-centered gaussian clusters in 64-d, ~1%
                near-identical vector pairs so semantic dedup bites.
+  orders / lineitem / events / customer — key-shifted replication
+               (`--rel-mult`, default 10): copy c of an entity gets
+               key + c*span for every key column (orderkey, custkey,
+               event/user ids shift consistently, so order→lineitem,
+               order→customer, and event-user→custkey joins all stay
+               referentially intact), dates/values/statuses unchanged
+               so every date filter keeps its selectivity and every
+               per-entity distribution (lines per order, orders per
+               customer, events per user) is EXACTLY preserved — the
+               "more entities, same behavior" growth model. Pure SQL,
+               no RNG, so adding these tables leaves the
+               documents/embeddings fixtures bit-identical.
+  region / nation / supplier / part — copied verbatim: true dims stay
+               fixed while facts grow (the realistic cluster shape —
+               and what keeps the broadcast-ability question honest:
+               customer GROWS with the facts, so a plan that
+               broadcasts it must re-earn that at each decade).
 
 Deterministic (numpy default_rng, fixed seed) and written OUTSIDE
 /root/testdata (which is read-only by mandate) — default
@@ -143,6 +160,58 @@ def gen_embeddings(
     return n
 
 
+REL_MULT = 10  # default: sf1-scale facts (10x the sf0.1 base)
+
+
+def gen_relational(sf01_dir: str, out: Path, mult: int = REL_MULT) -> dict[str, int]:
+    """Key-shifted replication of the fact tables + customer; true
+    dims copied verbatim. See module docstring for the growth model."""
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events", "customer",
+              "region", "nation", "supplier", "part"):
+        con.execute(
+            f"CREATE VIEW {t}0 AS SELECT * FROM '{sf01_dir}/{t}.parquet'"
+        )
+    ok_span, ck_span, ev_span = con.execute(
+        "SELECT (SELECT MAX(o_orderkey) + 1 FROM orders0),"
+        "       (SELECT MAX(c_custkey) + 1 FROM customer0),"
+        "       (SELECT MAX(event_id) + 1 FROM events0)"
+    ).fetchone()
+    con.execute(
+        f"CREATE TABLE copies AS SELECT unnest(generate_series(0, {mult - 1})) AS c"
+    )
+    grown = {
+        "orders": f"""
+            SELECT o_orderkey + c * {ok_span} AS o_orderkey,
+                   o_custkey + c * {ck_span} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders0 CROSS JOIN copies""",
+        "lineitem": f"""
+            SELECT l_orderkey + c * {ok_span} AS l_orderkey,
+                   * EXCLUDE (l_orderkey, c)
+            FROM lineitem0 CROSS JOIN copies""",
+        "customer": f"""
+            SELECT c_custkey + c * {ck_span} AS c_custkey,
+                   * EXCLUDE (c_custkey, c)
+            FROM customer0 CROSS JOIN copies""",
+        "events": f"""
+            SELECT event_id + c * {ev_span} AS event_id, ts,
+                   user_id + c * {ck_span} AS user_id,
+                   event_type, value, props
+            FROM events0 CROSS JOIN copies""",
+    }
+    counts = {}
+    for t, sql in grown.items():
+        con.execute(f"COPY ({sql}) TO '{out / (t + '.parquet')}' (FORMAT PARQUET)")
+        counts[t] = con.execute(f"SELECT COUNT(*) FROM '{out / (t + '.parquet')}'").fetchone()[0]
+    for t in ("region", "nation", "supplier", "part"):
+        con.execute(
+            f"COPY (SELECT * FROM {t}0) TO '{out / (t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.close()
+    return counts
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     doc_mult, emb_mult = DOC_MULT, EMB_MULT
@@ -154,15 +223,23 @@ def main() -> int:
         i = args.index("--emb-mult")
         emb_mult = int(args[i + 1])
         del args[i : i + 2]
+    rel_mult = REL_MULT
+    if "--rel-mult" in args:
+        i = args.index("--rel-mult")
+        rel_mult = int(args[i + 1])
+        del args[i : i + 2]
+    skip_rel = "--no-rel" in args
+    args = [a for a in args if a != "--no-rel"]
     out = Path(args[0]) if args else DEFAULT_OUT
     sf01 = args[1] if len(args) > 1 else DEFAULT_SF01
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED if (doc_mult, emb_mult) == (DOC_MULT, EMB_MULT) else SEED + 1)
     nd = gen_documents(rng, sf01, out, mult=doc_mult)
     ne = gen_embeddings(rng, out, mult=emb_mult)
+    rel = {} if skip_rel else gen_relational(sf01, out, mult=rel_mult)
     (out / "FIXTURE_VERSION").write_text(f"{FIXTURE_VERSION}\n")
     print(
-        f"wrote {out}: documents={nd} embeddings={ne}"
+        f"wrote {out}: documents={nd} embeddings={ne} {rel}"
         f" fixture_version={FIXTURE_VERSION}"
     )
     return 0

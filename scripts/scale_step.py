@@ -98,6 +98,32 @@ QUERIES = [
 # decade (--sf10) is measured for THESE; the exact enumerators' pair
 # universe at sf10 is the thing their docstrings tell you not to run
 # unsampled.
+# r7 verdict #3: the relational/events families' 100 TB claims rested
+# on plan shapes + sf0.1 timings only. --relational measures the
+# headline TPC-H-shape set, the two events workhorses, and every query
+# the r8 keyed-window class fix rewrote, across all four decades
+# (.scale/sf1 now carries key-shifted 10x fact tables: 6M lineitem /
+# 1.5M orders / 1M events / 150k customer, dims fixed).
+RELATIONAL_PATH = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "events_sessionize",
+    "events_hourly",
+    # the r8 keyed-window rewrites — growth here is the evidence the
+    # class fix holds across decades, not just in plan shape
+    "q2_min_cost_parts",
+    "customers_above_nation_avg",
+    "window_ntile_customers",
+    "window_percent_rank",
+    "window_top_customers_per_nation",
+    "stratified_sample_exact",
+    "pack_token_shards",
+    "training_shuffle_order",
+]
+
 SCALE_PATH = [
     "dedup_minhash_lsh",
     "dedup_lsh_screened_jaccard",
@@ -119,8 +145,11 @@ def main() -> None:
     with_sf1 = "--no-sf1" not in args
     with_sf10 = "--sf10" in args
     scale_path = "--scale-path" in args
-    args = [a for a in args if a not in ("--no-sf1", "--sf10", "--scale-path")]
+    relational = "--relational" in args
+    args = [a for a in args if a not in ("--no-sf1", "--sf10", "--scale-path", "--relational")]
     only: list[str] | None = SCALE_PATH if scale_path else None
+    if relational:
+        only = RELATIONAL_PATH
     if "--only" in args:
         i = args.index("--only")
         if i + 1 >= len(args):
@@ -136,7 +165,9 @@ def main() -> None:
 
     sf_dirs = list(SF_DIRS)
     if with_sf1:
-        if not (SF1_DIR / "documents.parquet").exists():
+        if not (SF1_DIR / "documents.parquet").exists() or not (
+            SF1_DIR / "orders.parquet"
+        ).exists():
             subprocess.run(
                 [sys.executable, str(Path(__file__).parent / "gen_scale_tables.py")],
                 check=True,
