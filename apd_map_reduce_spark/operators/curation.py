@@ -282,12 +282,18 @@ def pack_token_shards(
     doc_id. Returns per-shard stats, not per-doc rows."""
     from pyspark.sql.window import Window
 
+    # Cached: `counts` feeds both the block aggregation and the join
+    # probe side; without the cache the tokenizer (the CPU-bound
+    # stage, ~2.7 s of the query's ~3 s at sf1) is evaluated twice —
+    # measured at sf1: 8.0 s uncached vs 3.0 s cached, min-of-3.
+    # Same MEMORY_AND_DISK convention as the dedup family's shingle
+    # caches: spills rather than OOMs at cluster scale.
     counts = docs.select(
         "lang",
         "doc_id",
         null_safe_size(normalized_tokens()).cast("long").alias("n_tokens"),
         F.expr(f"doc_id div {block}").alias("blk"),
-    )
+    ).cache()
     block_tot = counts.groupBy("lang", "blk").agg(
         F.sum("n_tokens").alias("blk_tokens")
     )

@@ -117,7 +117,24 @@ def main() -> int:
             r = r.option("maxFilesPerTrigger", str(max_files))
         return r.parquet(src)
 
-    results: dict[str, dict] = {}
+    # Each twin record is stamped with the wall-clock of its whole
+    # section (stream drain + batch/oracle twin + compare) so runs at
+    # different sf tiers yield growth factors per twin, not just a
+    # suite total. Section wall is drain-dominated; the batch twin
+    # shares the decade's growth, so the factor is a fair ceiling on
+    # the streaming side's own growth.
+    import time as _time
+
+    class _TimedResults(dict):
+        _last = _time.time()
+
+        def __setitem__(self, key, value):
+            now = _time.time()
+            value = {**value, "sec": round(now - _TimedResults._last, 3)}
+            _TimedResults._last = now
+            super().__setitem__(key, value)
+
+    results: dict[str, dict] = _TimedResults()
 
     # 1. Tumbling hourly counts: complete-mode drain == batch twin ==
     #    DuckDB oracle.
