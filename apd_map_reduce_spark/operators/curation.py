@@ -311,8 +311,16 @@ def pack_token_shards(
         Window.unboundedPreceding, -1
     )
     cum_in_blk = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
+    # eqNullSafe on lang: windows and groupBy treat NULL as a real
+    # group, so the offsets join must too — a name-list (null-unsafe)
+    # join silently drops every NULL-lang doc's shard row.
+    offsets = offsets.withColumnsRenamed({"lang": "_lang", "blk": "_blk"})
     return (
-        counts.join(offsets, ["lang", "blk"])
+        counts.join(
+            offsets,
+            F.col("lang").eqNullSafe(F.col("_lang")) & (F.col("blk") == F.col("_blk")),
+        )
+        .drop("_lang", "_blk")
         .withColumn(
             "shard_id",
             F.floor((F.col("blk_before") + cum_in_blk) / budget).cast("long"),

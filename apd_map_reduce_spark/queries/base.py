@@ -188,8 +188,20 @@ def two_phase_rank(
         F.sum("_bn").over(w_tot).alias(n_name),
     )
     w_local = Window.partitionBy(*keys, "_bkt").orderBy(*order)
+    # eqNullSafe on every join key: windows and groupBy treat NULL as
+    # a real group, so the offsets join must too — a name-list
+    # (null-unsafe) join would silently drop NULL-keyed groups'
+    # ranks (caught by the degenerate-fixture gate on the analogous
+    # pack_token_shards join).
+    assert all(isinstance(k, str) for k in keys), "keys must be column names"
+    renames = {k: f"_o_{k}" for k in [*keys, "_bkt"]}
+    offsets = offsets.withColumnsRenamed(renames)
+    cond = F.lit(True)
+    for k in [*keys, "_bkt"]:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_o_{k}"))
     return (
-        b.join(offsets, [*keys, "_bkt"])
+        b.join(offsets, cond)
+        .drop(*renames.values())
         .withColumn(
             rank_name,
             (F.row_number().over(w_local) + F.col("_off")).cast("long"),
