@@ -202,6 +202,31 @@ def small_key_window_hazards(
     return hazards
 
 
+def small_key_shuffle_join_hazards(
+    df: DataFrame, small: frozenset[str] = SMALL_CARDINALITY_COLS
+) -> list[tuple[str, tuple[str, ...]]]:
+    """The JOIN analog of `small_key_window_hazards`: SHUFFLE joins
+    (SortMergeJoin / ShuffledHashJoin) whose equi-keys are ONLY
+    known-small-cardinality columns. Such a join shuffles BOTH sides
+    onto |values| effective key groups — corpus/|values| rows through
+    one task pair at 100 TB, plus guaranteed skew. The sanctioned
+    shape is a broadcast join (BroadcastHashJoin is exempt by node
+    type: the streamed side keeps its partitioning, no shuffle on the
+    small key) — every small-dimension enrichment in the registry
+    (per-lang thresholds, per-type minima, per-nation averages)
+    already broadcasts, so this gate locks the property rather than
+    fixing extant hazards (sweep at adoption: zero hits over all 174
+    queries)."""
+    hazards = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
+            names = _expr_key_names(node.leftKeys())
+            if names and set(names) <= small:
+                hazards.append((cls, tuple(names)))
+    return hazards
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of distinct codegen stages (formatted explain tags nodes
     with `[codegen id : N]`)."""

@@ -134,6 +134,44 @@ def test_no_small_key_windows_over_unbounded_input(spark, qdef):
     )
 
 
+@pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
+def test_no_small_key_shuffle_joins(spark, qdef):
+    """Class gate (join analog of the window gate): no registry query
+    may plan a SHUFFLE join keyed only on known-small-cardinality
+    columns — both sides funnel corpus/|values| rows through one task
+    pair at 100 TB. Small-dimension enrichments must broadcast
+    (BroadcastHashJoin is exempt by node type). Zero hits at adoption;
+    this keeps it that way."""
+    from apd_map_reduce_spark.plans.quality import small_key_shuffle_join_hazards
+
+    hits = small_key_shuffle_join_hazards(qdef.fn(spark, SF_SMOKE))
+    assert not hits, (
+        f"{qdef.name} plans {len(hits)} shuffle join(s) keyed only on "
+        f"small-cardinality columns: {hits} — broadcast the small side"
+    )
+
+
+def test_small_key_shuffle_join_detector_positive(spark):
+    """The join detector flags the bad shape (shuffle join on lang
+    alone) and exempts the sanctioned broadcast form of the very same
+    join."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.plans.quality import small_key_shuffle_join_hazards
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    dims = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = docs.join(dims.hint("shuffle_merge"), "lang")
+        hits = small_key_shuffle_join_hazards(bad)
+        assert hits and all(keys == ("lang",) for _, keys in hits), hits
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    good = docs.join(F.broadcast(dims), "lang")
+    assert small_key_shuffle_join_hazards(good) == []
+
+
 def test_small_key_window_detector_positive_and_exemptions(spark):
     """The class gate's detector itself: a bare lang-keyed window over
     the raw corpus IS flagged (this is the shape stratified_sample /
