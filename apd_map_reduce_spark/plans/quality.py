@@ -227,6 +227,52 @@ def small_key_shuffle_join_hazards(
     return hazards
 
 
+def unbounded_collect_agg_hazards(
+    df: DataFrame, small: frozenset[str] = SMALL_CARDINALITY_COLS
+) -> list[tuple[str, tuple[str, ...]]]:
+    """Aggregates whose PER-GROUP STATE grows with the corpus
+    (collect_set / collect_list) over a group key that is empty or
+    only small-cardinality columns: each of the |values| groups
+    accumulates an O(corpus/|values|) in-memory array in one task.
+    Grouping by a data-proportional key (word, doc_id, digest) is
+    fine — per-group state stays bounded by per-key density — and is
+    not flagged. Sweep at adoption: zero hits over all 174 queries
+    (the inverted index groups by word; the sharded twins bound even
+    hot words)."""
+    hazards = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        if node.getClass().getSimpleName() not in _AGG_NODE_CLASSES:
+            continue
+        aggs = node.aggregateExpressions()
+        has_collect = any(
+            "collect_set" in aggs.apply(i).toString()
+            or "collect_list" in aggs.apply(i).toString()
+            for i in range(aggs.size())
+        )
+        if not has_collect:
+            continue
+        names = _expr_key_names(node.groupingExpressions())
+        if not names or set(names) <= small:
+            hazards.append(("collect_agg", tuple(names)))
+    return hazards
+
+
+def plan_scale_hazards(df: DataFrame) -> dict[str, list]:
+    """Every structural 100 TB hazard class over ONE planned
+    DataFrame (planning dominates; the class walks share the cached
+    queryExecution): unpartitioned windows, small-key windows over
+    unreduced input, small-key shuffle joins, and unbounded collect
+    aggregation state. Returns only the non-empty classes — the
+    registry-wide gate asserts the dict is empty."""
+    out = {
+        "unpartitioned_windows": unpartitioned_windows(df),
+        "small_key_windows": small_key_window_hazards(df),
+        "small_key_shuffle_joins": small_key_shuffle_join_hazards(df),
+        "unbounded_collect_aggs": unbounded_collect_agg_hazards(df),
+    }
+    return {k: v for k, v in out.items() if v}
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of distinct codegen stages (formatted explain tags nodes
     with `[codegen id : N]`)."""

@@ -10,7 +10,6 @@ import pytest
 from apd_map_reduce_spark.plans.quality import (
     has_pushed_filter,
     read_schema_columns,
-    unpartitioned_windows,
     uses_broadcast_join,
     wholestage_codegen_spans,
 )
@@ -89,20 +88,6 @@ def test_projection_prunes_scan(spark):
     assert "l_extendedprice" not in cols and "l_comment" not in cols
 
 
-@pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
-def test_no_unpartitioned_windows(spark, qdef):
-    """Blanket gate: NO registry query may plan a WindowExec with an
-    empty partitionSpec — the "No Partition Defined … moving all data
-    to a single partition" shape that funnels an unbounded relation
-    through one task at 100 TB. Global rankings must pre-prune
-    (ranked_topk / two-stage top-k); provably-bounded serial scans must
-    carry an explicit `bounded_const_key`."""
-    hits = unpartitioned_windows(qdef.fn(spark, SF_SMOKE))
-    assert not hits, (
-        f"{qdef.name} plans {len(hits)} unpartitioned window node(s): {hits}"
-    )
-
-
 # Queries whose small-key window is bounded by construction in a way
 # the structural exemptions (salted sibling / aggregated input) can't
 # see. Every entry needs a justification — an empty whitelist is the
@@ -111,43 +96,37 @@ SMALL_KEY_WINDOW_WHITELIST: dict[str, str] = {}
 
 
 @pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
-def test_no_small_key_windows_over_unbounded_input(spark, qdef):
-    """Class gate (r7 verdict #1): no registry query may plan a window
-    partitioned ONLY by known-small-cardinality columns (lang, nation,
-    segment, type, flag, …) over an input that is not provably
-    reduced — the corpus/|values|-rows-through-one-task shape that
-    per-query sweeps missed three rounds running. Sanctioned shapes
-    pass structurally: `grouped_topk`'s final stage has a salted
-    sibling window, and the two-level prefix-sum's offsets window sits
-    on a (keys ⊂ grouping) aggregate. Anything else must be fixed or
-    whitelisted here with a bounded-input justification."""
-    from apd_map_reduce_spark.plans.quality import small_key_window_hazards
+def test_no_plan_scale_hazards(spark, qdef):
+    """Registry-wide structural gate, ALL hazard classes in one plan
+    pass (planning dominates the cost, so the classes share it):
+
+    * unpartitioned windows — the "No Partition Defined … moving all
+      data to a single partition" funnel; global rankings must
+      pre-prune (ranked_topk / grouped_topk) and provably-bounded
+      serial scans must carry an explicit `bounded_const_key`;
+    * small-cardinality-keyed windows over unreduced input (r7
+      verdict #1 — the class per-query sweeps missed three rounds
+      running); sanctioned shapes pass structurally: grouped_topk's
+      final stage has a salted sibling window, the two-level
+      prefix-sum's offsets window sits on a (keys ⊂ grouping)
+      aggregate; anything else is fixed or whitelisted with a
+      bounded-input justification;
+    * shuffle joins keyed only on small-cardinality columns — both
+      sides funnel corpus/|values| rows through one task pair;
+      broadcast the small side (BroadcastHashJoin is exempt);
+    * collect_set/collect_list aggregation state over empty or
+      small-only group keys — O(corpus/|values|) in-memory array per
+      group."""
+    from apd_map_reduce_spark.plans.quality import plan_scale_hazards
 
     if qdef.name in SMALL_KEY_WINDOW_WHITELIST:
         pytest.skip(SMALL_KEY_WINDOW_WHITELIST[qdef.name])
-    hits = small_key_window_hazards(qdef.fn(spark, SF_SMOKE))
-    assert not hits, (
-        f"{qdef.name} plans {len(hits)} small-cardinality-keyed window "
-        f"node(s) over unreduced input: {hits} — rank through "
-        "grouped_topk / two_phase_rank, rewrite the unordered window as "
-        "agg+broadcast-join, or whitelist with a justification"
-    )
-
-
-@pytest.mark.parametrize("qdef", ALL_QUERIES, ids=[q.name for q in ALL_QUERIES])
-def test_no_small_key_shuffle_joins(spark, qdef):
-    """Class gate (join analog of the window gate): no registry query
-    may plan a SHUFFLE join keyed only on known-small-cardinality
-    columns — both sides funnel corpus/|values| rows through one task
-    pair at 100 TB. Small-dimension enrichments must broadcast
-    (BroadcastHashJoin is exempt by node type). Zero hits at adoption;
-    this keeps it that way."""
-    from apd_map_reduce_spark.plans.quality import small_key_shuffle_join_hazards
-
-    hits = small_key_shuffle_join_hazards(qdef.fn(spark, SF_SMOKE))
-    assert not hits, (
-        f"{qdef.name} plans {len(hits)} shuffle join(s) keyed only on "
-        f"small-cardinality columns: {hits} — broadcast the small side"
+    hazards = plan_scale_hazards(qdef.fn(spark, SF_SMOKE))
+    assert not hazards, (
+        f"{qdef.name} plans structural scale hazard(s): {hazards} — "
+        "rank through grouped_topk / two_phase_rank, rewrite unordered "
+        "windows as agg+broadcast-join, broadcast small join sides, or "
+        "whitelist with a justification"
     )
 
 
@@ -170,6 +149,32 @@ def test_small_key_shuffle_join_detector_positive(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     good = docs.join(F.broadcast(dims), "lang")
     assert small_key_shuffle_join_hazards(good) == []
+
+
+def test_collect_agg_and_unpartitioned_detectors_positive(spark):
+    """The other two classes in the combined gate also have pinned
+    positives: a corpus-wide collect_set grouped by lang is flagged
+    (grouping by the data-proportional word key is not), and a bare
+    global window is flagged by the unpartitioned class."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from apd_map_reduce_spark.plans.quality import plan_scale_hazards
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    bad_agg = docs.groupBy("lang").agg(F.collect_set("doc_id").alias("ids"))
+    assert "unbounded_collect_aggs" in plan_scale_hazards(bad_agg)
+
+    ok_agg = docs.select(
+        F.explode(F.split("text", " ")).alias("word"), "doc_id"
+    ).groupBy("word").agg(F.collect_set("doc_id").alias("ids"))
+    assert "unbounded_collect_aggs" not in plan_scale_hazards(ok_agg)
+
+    bad_window = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert "unpartitioned_windows" in plan_scale_hazards(bad_window)
 
 
 def test_small_key_window_detector_positive_and_exemptions(spark):
