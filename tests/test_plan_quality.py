@@ -151,6 +151,20 @@ def test_small_key_shuffle_join_detector_positive(spark):
     assert small_key_shuffle_join_hazards(good) == []
 
 
+def test_decorrelated_window_aggs_broadcast_back(spark):
+    """The r8 agg+broadcast-join rewrites must actually PLAN the
+    broadcast: the per-type min and per-nation avg relations join back
+    as BroadcastHashJoin, never a shuffle join (which the class gate
+    would flag as a small-key shuffle)."""
+    from apd_map_reduce_spark.queries.relational import (
+        customers_above_nation_avg,
+        q2_min_cost_parts,
+    )
+
+    assert uses_broadcast_join(q2_min_cost_parts(spark, SF_SMOKE))
+    assert uses_broadcast_join(customers_above_nation_avg(spark, SF_SMOKE))
+
+
 def test_collect_agg_and_unpartitioned_detectors_positive(spark):
     """The other two classes in the combined gate also have pinned
     positives: a corpus-wide collect_set grouped by lang is flagged
