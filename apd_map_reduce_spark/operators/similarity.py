@@ -133,7 +133,8 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_
     ).select("query_id", "rnk", "neighbor_id", "cos_sim")
 
 
-COSINE_TOPK_ORACLE = f"""
+def _cosine_oracle(k: int = TOP_K) -> str:
+    return f"""
 WITH vemb AS (SELECT * FROM embeddings WHERE {_EMB_GUARD}),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb FROM vemb WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb FROM vemb),
@@ -148,8 +149,11 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
   FROM scored
 )
-SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {TOP_K}
+SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {k}
 """
+
+
+COSINE_TOPK_ORACLE = _cosine_oracle()
 
 
 def _planes() -> list[list[float]]:
@@ -469,6 +473,74 @@ SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked WHERE rnk <= {k}
 """
 
 
+def ivf_recall_audit(
+    embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3
+) -> DataFrame:
+    """Empirical recall@k of the IVF screen against exact brute-force
+    cosine top-k for the same probe set — ONE row (n_queries, k,
+    n_truth, n_hits, recall6). The ANN-family analog of the dedup
+    family's `lsh_recall_audit`: the runtime health check a standing
+    deployment alarms on when centroid drift or an nprobe change
+    silently degrades retrieval (at N_PROBE=2 of 16 lists the probe
+    set covers 1/8 of the corpus, so recall is meaningfully below 1.0
+    and MOVES when the geometry does — exactly what a monitor wants).
+
+    Determinism: both rankings share the round-6 cosine and the
+    (cos DESC, neighbor_id ASC) total order the registry already
+    hash-verifies, so the top-k SETS are engine-identical; the audit
+    row is exact counts + one round-6 ratio of integers. Scale: truth
+    is the brute-force scorer — like the LSH audit, a standing
+    deployment runs this on a PROBE SAMPLE (n_queries is the knob,
+    already a bounded broadcast side), never the full query log; both
+    rankings go through `grouped_topk`, and the final row is bounded
+    single-row aggregates cross-joined (the whitelisted
+    scalar-broadcast shape)."""
+    truth = cosine_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    got = ivf_ann_topk(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(got, ["query_id", "neighbor_id"])
+    nq = truth.select("query_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nq.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            "n_truth",
+            "n_hits",
+            F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("n_hits") / F.col("n_truth"), 6))
+            .alias("recall6"),
+        )
+    )
+
+
+def _ivf_recall_oracle(k: int = 3) -> str:
+    """Oracle twin: the two existing (hash-verified) ranking oracles
+    nested as derived tables, counted."""
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_cosine_oracle(k)})),
+got AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle(k)})),
+hits AS (SELECT t.query_id FROM truth t JOIN got g
+         ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id)
+SELECT (SELECT COUNT(DISTINCT query_id) FROM truth)::BIGINT AS n_queries,
+       {k}::BIGINT AS k,
+       (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+            ELSE ROUND((SELECT COUNT(*) FROM hits) * 1.0
+                       / (SELECT COUNT(*) FROM truth), 6)
+       END AS recall6
+"""
+
+
 def _centroid_assign(embeddings: DataFrame, k: int, stride: int) -> DataFrame:
     """(vec_id, embedding, cluster_id): nearest of k DATA-SAMPLED
     centroids (the vectors with vec_id % stride == 0, cid = vec_id //
@@ -654,6 +726,11 @@ SIMILARITY_QUERIES = [
     QueryDef("ann_cosine_topk", lambda s, d: cosine_topk(_emb(s, d)), COSINE_TOPK_ORACLE, headline=True),
     QueryDef("ann_lsh_topk", lambda s, d: lsh_ann_topk(_emb(s, d)), _lsh_oracle()),
     QueryDef("ann_ivf_topk", lambda s, d: ivf_ann_topk(_emb(s, d)), _ivf_oracle()),
+    QueryDef(
+        "ann_ivf_recall_audit",
+        lambda s, d: ivf_recall_audit(_emb(s, d)),
+        _ivf_recall_oracle(),
+    ),
     QueryDef(
         "dedup_embedding_cosine",
         lambda s, d: embedding_near_dups(_emb(s, d), threshold=0.3),
