@@ -495,10 +495,33 @@ def ivf_recall_audit(
     rankings go through `grouped_topk`, and the final row is bounded
     single-row aggregates cross-joined (the whitelisted
     scalar-broadcast shape)."""
+    return _ann_recall_audit(
+        embeddings, ivf_ann_topk, n_queries=n_queries, k=k
+    )
+
+
+def lsh_recall_audit_ann(
+    embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = 3
+) -> DataFrame:
+    """`ivf_recall_audit`'s twin for the single-bucket LSH screen —
+    the two cosine-metric ANN screens now carry the same health row.
+    (The PQ-ADC ranking is NOT audited against this truth: it ranks
+    by L2 on quantized vectors, a different ground-truth metric than
+    cosine, so a cosine-recall number for it would conflate metric
+    disagreement with quantization loss.) Single-bucket LSH probes
+    1/2^4 of the corpus, so its recall sits well below IVF's — the
+    pair quantifies the screen-choice tradeoff the module docstrings
+    describe."""
+    return _ann_recall_audit(
+        embeddings, lsh_ann_topk, n_queries=n_queries, k=k
+    )
+
+
+def _ann_recall_audit(embeddings, approx_topk, n_queries: int, k: int) -> DataFrame:
     truth = cosine_topk(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
-    got = ivf_ann_topk(embeddings, n_queries=n_queries, k=k).select(
+    got = approx_topk(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
     hits = truth.join(got, ["query_id", "neighbor_id"])
@@ -523,11 +546,20 @@ def ivf_recall_audit(
 
 
 def _ivf_recall_oracle(k: int = 3) -> str:
-    """Oracle twin: the two existing (hash-verified) ranking oracles
+    return _ann_recall_oracle(_ivf_oracle(k), k)
+
+
+def _lsh_recall_ann_oracle(k: int = 3) -> str:
+    assert k == 3, "_lsh_oracle ranks a fixed k=3"
+    return _ann_recall_oracle(_lsh_oracle(), k)
+
+
+def _ann_recall_oracle(approx_sql: str, k: int) -> str:
+    """Oracle twin: the existing (hash-verified) ranking oracles
     nested as derived tables, counted."""
     return f"""
 WITH truth AS (SELECT query_id, neighbor_id FROM ({_cosine_oracle(k)})),
-got AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle(k)})),
+got AS (SELECT query_id, neighbor_id FROM ({approx_sql})),
 hits AS (SELECT t.query_id FROM truth t JOIN got g
          ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id)
 SELECT (SELECT COUNT(DISTINCT query_id) FROM truth)::BIGINT AS n_queries,
@@ -730,6 +762,11 @@ SIMILARITY_QUERIES = [
         "ann_ivf_recall_audit",
         lambda s, d: ivf_recall_audit(_emb(s, d)),
         _ivf_recall_oracle(),
+    ),
+    QueryDef(
+        "ann_lsh_recall_audit",
+        lambda s, d: lsh_recall_audit_ann(_emb(s, d)),
+        _lsh_recall_ann_oracle(),
     ),
     QueryDef(
         "dedup_embedding_cosine",
