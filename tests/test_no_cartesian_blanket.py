@@ -41,6 +41,11 @@ SCALAR_BROADCAST_OK = {
     # into the one-row summary (1 row x 1 row x 1 row).
     "dedup_lsh_recall_audit",
     "dedup_lsh_recall_audit_sampled",  # same one-row summary shape
+    # The ANN recall audits inherit ann_cosine_topk's documented
+    # fixed-probe broadcast (their truth side IS that baseline) plus
+    # the same 1-row x 1-row x 1-row summary cross-join.
+    "ann_ivf_recall_audit",
+    "ann_lsh_recall_audit",
     # IVF-style centroid assignment: every vector must see every
     # centroid; the broadcast side is the K-row centroid pool, bounded
     # by the SEMDEDUP_MAX_CLUSTERS=256 clamp (constant, not data-sized).
