@@ -34,6 +34,14 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     headline: bool = False  # include in bench.py
+    # Bounded-error oracle for sketch queries (r8 verdict #5): exact
+    # DuckDB SQL yielding, per key, `lo_<col>` / `hi_<col>` columns for
+    # every approximate output column `<col>` (key columns = the rest,
+    # matched by name). The selfcheck joins on the keys and asserts
+    # lo <= value <= hi — the published error bound of the sketch, so
+    # "rows-only" upgrades to "bounded-error-checked" even though no
+    # exact value hash exists. Ignored when `oracle` is set.
+    bounds: str | None = None
 
 
 def dec2(col: Column | str) -> Column:

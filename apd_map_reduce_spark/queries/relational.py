@@ -420,12 +420,27 @@ GROUP BY p_brand
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — the 100 TB path for A3-style
-    distinct counts (SURVEY.md §2.4). No oracle: sketch estimates are
-    engine-specific; driver records rows-only."""
+    distinct counts (SURVEY.md §2.4). No exact oracle (sketch
+    estimates are engine-specific; the driver records rows-only), but
+    the selfcheck asserts the BOUNDED-ERROR oracle below: rsd=0.01
+    configures a 1% relative standard deviation (HyperLogLog++, Heule
+    et al. 2013), so +/-5% (5 sigma) is a deterministic-in-practice
+    per-group bound around DuckDB's exact distinct count."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
     )
+
+
+# 5 sigma at rsd=0.01 → ±5% around the exact count (floor/ceil so the
+# integer bracket never excludes an in-bound estimate by rounding).
+APPROX_DISTINCT_BOUNDS = """
+SELECT event_type,
+       CAST(FLOOR(COUNT(DISTINCT user_id) * 0.95) AS BIGINT) AS lo_approx_users,
+       CAST(CEIL(COUNT(DISTINCT user_id) * 1.05) AS BIGINT) AS hi_approx_users
+FROM events
+GROUP BY event_type
+"""
 
 
 # --- windows ---------------------------------------------------------------
@@ -1490,14 +1505,33 @@ FROM customer
 
 
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch percentiles (KLL-style) — the 100 TB path where exact
-    per-group sort is too expensive. No oracle: sketch internals are
-    engine-specific (rows-only check), exact twin = percentile_acctbal."""
+    """Sketch percentiles (Greenwald-Khanna) — the 100 TB path where
+    exact per-group sort is too expensive. No exact oracle (sketch
+    internals are engine-specific; driver records rows-only), but the
+    selfcheck asserts the BOUNDED-ERROR oracle below: accuracy=10000
+    guarantees rank error <= n/10000, so each estimate must lie inside
+    the exact-value bracket at ranks p +/- 0.001 (10x the published
+    bound — slack for per-group n rounding, still value-tight because
+    prices are dense). Exact twin = percentile_disc_prices."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
     )
+
+
+# Rank bracket p ± 0.001 (10x the GK 1/accuracy bound) evaluated on
+# the exact data: percentile_disc returns actual data values, so the
+# bracket is exact and engine-portable.
+APPROX_PERCENTILE_BOUNDS = """
+SELECT l_returnflag,
+  percentile_disc(0.499) WITHIN GROUP (ORDER BY l_extendedprice) AS lo_approx_median,
+  percentile_disc(0.501) WITHIN GROUP (ORDER BY l_extendedprice) AS hi_approx_median,
+  percentile_disc(0.989) WITHIN GROUP (ORDER BY l_extendedprice) AS lo_approx_p99,
+  percentile_disc(0.991) WITHIN GROUP (ORDER BY l_extendedprice) AS hi_approx_p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,7 +2861,12 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("rollup_region_nation", rollup_region_nation, ROLLUP_ORACLE),
     QueryDef("cube_status_priority", cube_status_priority, CUBE_ORACLE),
     QueryDef("count_distinct_parts", count_distinct_parts, COUNT_DISTINCT_ORACLE),
-    QueryDef("approx_distinct_users", approx_distinct_users, None),
+    QueryDef(
+        "approx_distinct_users",
+        approx_distinct_users,
+        None,
+        bounds=APPROX_DISTINCT_BOUNDS,
+    ),
     QueryDef("q2_min_cost_parts", q2_min_cost_parts, Q2_ORACLE),
     QueryDef("q4_order_priority", q4_order_priority, Q4_ORACLE),
     QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
@@ -2846,7 +2885,12 @@ RELATIONAL_QUERIES: list[QueryDef] = [
     QueryDef("window_lead_order_gap", window_lead_order_gap, WINDOW_LEAD_ORACLE),
     QueryDef("window_ntile_customers", window_ntile_customers, WINDOW_NTILE_ORACLE),
     QueryDef("percentile_acctbal", percentile_acctbal, PERCENTILE_ORACLE),
-    QueryDef("approx_percentile_prices", approx_percentile_prices, None),
+    QueryDef(
+        "approx_percentile_prices",
+        approx_percentile_prices,
+        None,
+        bounds=APPROX_PERCENTILE_BOUNDS,
+    ),
     QueryDef("percentile_disc_prices", percentile_disc_prices, PERCENTILE_DISC_ORACLE),
     QueryDef("window_top_customers_per_nation", window_top_customers_per_nation, WINDOW_RANK_ORACLE),
     QueryDef("window_running_revenue", window_running_revenue, WINDOW_RUNNING_ORACLE),

@@ -76,6 +76,44 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return problems
 
 
+def check_bounds(name: str, spark_pdf: pd.DataFrame, bounds_pdf: pd.DataFrame) -> list[str]:
+    """Bounded-error oracle for sketch queries (QueryDef.bounds): the
+    bounds relation carries key columns plus `lo_<col>`/`hi_<col>` per
+    approximate column; assert a 1:1 key match and lo <= value <= hi."""
+    problems: list[str] = []
+    bound_cols = [c for c in bounds_pdf.columns if c.startswith(("lo_", "hi_"))]
+    keys = [c for c in bounds_pdf.columns if c not in bound_cols]
+    approx_cols = sorted({c[3:] for c in bound_cols})
+    missing = [c for c in keys + approx_cols if c not in spark_pdf.columns]
+    if missing:
+        return [f"result lacks columns {missing} (has {sorted(spark_pdf.columns)})"]
+    for c in approx_cols:
+        if f"lo_{c}" not in bounds_pdf.columns or f"hi_{c}" not in bounds_pdf.columns:
+            return [f"bounds SQL lacks lo_{c}/hi_{c}"]
+    if len(spark_pdf) != len(bounds_pdf):
+        problems.append(f"rowcount: spark={len(spark_pdf)} bounds={len(bounds_pdf)}")
+        return problems
+    merged = spark_pdf.merge(bounds_pdf, on=keys, how="inner", validate="1:1")
+    if len(merged) != len(spark_pdf):
+        problems.append(
+            f"key mismatch: {len(spark_pdf)} result rows, {len(merged)} joined"
+        )
+        return problems
+    for c in approx_cols:
+        v = merged[c].astype("float64")
+        lo = merged[f"lo_{c}"].astype("float64")
+        hi = merged[f"hi_{c}"].astype("float64")
+        bad = ~((v >= lo) & (v <= hi))
+        if bad.any():
+            i = bad[bad].index[0]
+            problems.append(
+                f"col {c}: {int(bad.sum())}/{len(bad)} outside bound, e.g. "
+                f"key={merged.loc[i, keys].to_dict()} value={v[i]} "
+                f"bound=[{lo[i]}, {hi[i]}]"
+            )
+    return problems
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     tail_after = None
@@ -132,6 +170,31 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if q.oracle is None:
+            if q.bounds is not None:
+                t0 = time.time()
+                bounds_pdf = con.execute(q.bounds).df()
+                t_oracle = time.time() - t0
+                problems = check_bounds(q.name, spark_pdf, bounds_pdf)
+                if problems:
+                    n_fail += 1
+                    print(f"FAIL  {q.name}: bounded-error check ({t_spark:.1f}s)")
+                    for p in problems:
+                        print(f"      {p}")
+                    records.append(
+                        {"query": q.name, "status": "bounds_fail",
+                         "problems": problems[:5]}
+                    )
+                else:
+                    print(
+                        f"PASS  {q.name}: bounded-error check, {len(spark_pdf)} rows"
+                        f" ({t_spark:.1f}s spark / {t_oracle:.1f}s duckdb)"
+                    )
+                    records.append(
+                        {"query": q.name, "status": "bounded_pass",
+                         "rows": len(spark_pdf), "t_spark_s": round(t_spark, 2),
+                         "t_oracle_s": round(t_oracle, 2)}
+                    )
+                continue
             print(f"ok?   {q.name}: rows-only check, {len(spark_pdf)} rows ({t_spark:.1f}s)")
             if len(spark_pdf) == 0:
                 print(f"      WARNING: zero rows from {q.name}")

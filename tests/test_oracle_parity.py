@@ -12,7 +12,7 @@ import pytest
 
 from apd_map_reduce_spark.registry import ALL_QUERIES
 from apd_map_reduce_spark.sources.tables import TABLES
-from scripts.check_oracle import compare
+from scripts.check_oracle import check_bounds, compare
 
 from .conftest import SF_SMOKE
 
@@ -30,6 +30,10 @@ def test_query_matches_oracle(spark, duck, qdef):
     spark_pdf = qdef.fn(spark, SF_SMOKE).toPandas()
     if qdef.oracle is None:
         assert len(spark_pdf) > 0, f"{qdef.name}: rows-only query returned 0 rows"
+        if qdef.bounds is not None:
+            bounds_pdf = duck.execute(qdef.bounds).df()
+            problems = check_bounds(qdef.name, spark_pdf, bounds_pdf)
+            assert not problems, f"{qdef.name} (bounded): {problems}"
         return
     oracle_pdf = duck.execute(qdef.oracle).df()
     problems = compare(qdef.name, spark_pdf, oracle_pdf)
