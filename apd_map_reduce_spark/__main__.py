@@ -47,6 +47,11 @@ def query_main(argv: list[str]) -> int:
     spark = get_spark(app_name=f"apd-query-{args.name}")
     spark.sparkContext.setLogLevel("ERROR")
     QUERY_INDEX[args.name].fn(spark, args.sf_dir).show(args.limit, truncate=False)
+    # Cache-lifetime convention (docs/PLANS.md): builders cache shared
+    # intermediates and never unpersist; the session owner releases.
+    from apd_map_reduce_spark.session import release_caches
+
+    release_caches(spark)
     return 0
 
 

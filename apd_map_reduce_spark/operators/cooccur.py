@@ -300,8 +300,12 @@ def _shard(col: str = "doc_id", block: int = POSTING_SHARD_BLOCK) -> Column:
     hash) sharding keeps consecutive doc ids together, so within-shard
     gap encoding preserves the small-delta property the compression
     relies on. Integer `div` (not a float divide + cast) so the key is
-    exact for any block size and any 64-bit id, matching the oracles'
-    `doc_id // block`."""
+    exact for any block size across the full NON-NEGATIVE 64-bit id
+    domain, matching the oracles' `doc_id // block` there. Spark's
+    `div` truncates toward zero while Python's `//` floors, so the two
+    diverge for NEGATIVE ids — doc ids are non-negative by the corpus
+    contract (manifest ordinals and synthesized ids start at 0/1), and
+    `tests/test_hash_slice.py`-style fixtures never go below 0."""
     return F.expr(f"{col} div {block}")
 
 

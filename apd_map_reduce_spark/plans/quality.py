@@ -160,6 +160,22 @@ def _subtree_agg_groupings(node) -> list[set[str]]:
     return out
 
 
+def _subtree_window_keysets(node) -> list[set[str]]:
+    """partitionSpec key-name sets of every window node STRICTLY BELOW
+    `node` (node itself excluded) — the scope in which a salted
+    grouped_topk stage can legitimately exempt its final ranking
+    window. Plan-global matching would let a salted window in one
+    branch of a composite plan exempt an unrelated bare small-key
+    window in another branch (a gate false-negative)."""
+    out = []
+    for n in _iter_plan_nodes(node):
+        if n is node:
+            continue
+        if n.getClass().getSimpleName() in _WINDOW_NODE_CLASSES:
+            out.append(set(_expr_key_names(n.partitionSpec())))
+    return out
+
+
 def small_key_window_hazards(
     df: DataFrame, small: frozenset[str] = SMALL_CARDINALITY_COLS
 ) -> list[tuple[str, tuple[str, ...]]]:
@@ -169,10 +185,13 @@ def small_key_window_hazards(
 
     Two structural exemptions encode the repo's sanctioned shapes:
 
-    * SALTED SIBLING (the `grouped_topk` two-stage top-k): another
-      window in the same plan partitions by a strict superset of this
-      window's keys (keys + the salt expression) — the flagged window
-      then ranks only the ≤ n_salts·k survivors of the salted stage.
+    * SALTED STAGE BELOW (the `grouped_topk` two-stage top-k): a
+      window in this window's CHILD SUBTREE partitions by a strict
+      superset of this window's keys (keys + the salt expression) —
+      the flagged window then ranks only the ≤ n_salts·k survivors of
+      the salted stage. Subtree-scoped (not plan-global) so a salted
+      branch of a composite plan cannot exempt an unrelated bare
+      small-key window in another branch.
     * AGGREGATED INPUT (the two-level prefix-sum / `two_phase_rank`
       offsets): somewhere below the window an aggregation groups by a
       strict superset of the window's keys (keys + block/bucket), so
@@ -194,8 +213,8 @@ def small_key_window_hazards(
         keyset = set(names)
         if not keyset <= small:
             continue
-        if any(keyset < set(other) for _, other, _ in plan_windows):
-            continue  # salted sibling
+        if any(keyset < other for other in _subtree_window_keysets(node)):
+            continue  # salted stage below (grouped_topk final ranking)
         if any(keyset < g for g in _subtree_agg_groupings(node)):
             continue  # aggregated (block-reduced) input
         hazards.append((cls, tuple(names)))

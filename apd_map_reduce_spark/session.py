@@ -59,3 +59,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Drop every cached relation the session has accumulated.
+
+    CACHE-LIFETIME CONVENTION (docs/PLANS.md "Cache lifetime"): query
+    builders cache shared intermediates (shingle relations, tokenized
+    docs, candidate sets) at MEMORY_AND_DISK and do NOT unpersist —
+    a builder returns a lazy DataFrame, so there is no scope inside it
+    where the cache is provably done being read. The session OWNER
+    releases instead: the bench harness calls
+    ``spark.catalog.clearCache()`` between queries (bench.py), the CLI
+    releases after each query, and long-lived sessions call this hook
+    at pipeline boundaries.
+
+    ``catalog.clearCache()`` drops the SQL relation cache (every
+    DataFrame ``.cache()``/``.persist()``); the ``getPersistentRDDs``
+    sweep then unpersists any RDD-level leftovers (streaming state
+    helpers, direct rdd.persist calls) that the SQL cache doesn't
+    track. Returns the number of RDDs still persisted AFTER the SQL
+    cache clear (0 in the registry — a regression sentinel asserted by
+    tests/test_cache_release.py)."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leftover = jmap.size()
+    for jrdd in jmap.values():  # py4j MapConverter exposes a dict view
+        jrdd.unpersist()
+    return leftover

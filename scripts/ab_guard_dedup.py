@@ -42,19 +42,64 @@ DRIVER_BENCH = {  # BENCH_r06 / BENCH_r07 warm seconds
 }
 
 
+# Timed-path symbols the shadow dedup.py resolves against the CURRENT
+# package. The A/B is only old-vs-new dedup code if these are
+# source-identical between the snapshot and HEAD — asserted below at
+# SYMBOL granularity (whole-file blob equality is too strict: base.py
+# legitimately gained the unrelated QueryDef.bounds field after r8, and
+# layout.py gained new helpers the snapshot never calls).
+_SHARED_TIMED_SYMBOLS = (
+    ("apd_map_reduce_spark/functions/text.py", "null_safe_size"),
+    ("apd_map_reduce_spark/plans/layout.py", "spread"),
+    ("apd_map_reduce_spark/sources/tables.py", "load_table"),
+)
+
+
+def _symbol_source(rev: str, path: str, name: str) -> str:
+    import ast
+
+    src = subprocess.run(
+        ["git", "-C", str(REPO), "show", f"{rev}:{path}"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and node.name == name:
+            return ast.get_source_segment(src, node)
+    raise RuntimeError(f"{name} not found in {rev}:{path}")
+
+
 def load_old_dedup():
     """Import the r6-snapshot dedup.py under a shadow module name.
     Its intra-package imports (functions.text, plans.layout, …)
-    resolve against the CURRENT package — those surfaces are
-    unchanged for the functions under test."""
+    resolve against the CURRENT package — first ASSERT the timed-path
+    symbols' sources are unchanged snapshot→HEAD, so the timing is
+    genuinely old-dedup-vs-new-dedup and not a chimera of drifted
+    helpers. The shadow source goes to a NamedTemporaryFile (unique
+    per run; concurrent invocations don't collide on a fixed /tmp
+    path)."""
+    for path, name in _SHARED_TIMED_SYMBOLS:
+        old_src = _symbol_source(R6_SNAPSHOT, path, name)
+        head_src = _symbol_source("HEAD", path, name)
+        if old_src != head_src:
+            raise RuntimeError(
+                f"timed-path symbol {name} in {path} drifted between "
+                f"{R6_SNAPSHOT} and HEAD; the shadow-import A/B would "
+                "time a chimera — re-pin the snapshot or vendor the old "
+                "helper too"
+            )
     src = subprocess.run(
         ["git", "-C", str(REPO), "show",
          f"{R6_SNAPSHOT}:apd_map_reduce_spark/operators/dedup.py"],
         capture_output=True, text=True, check=True,
     ).stdout
-    tmp = Path("/tmp/ab_guard_old_dedup.py")
-    tmp.write_text(src)
-    spec = importlib.util.spec_from_file_location("old_dedup_r6", tmp)
+    import tempfile
+
+    tmp = tempfile.NamedTemporaryFile(
+        mode="w", suffix="_ab_guard_old_dedup.py", delete=False
+    )
+    with tmp:
+        tmp.write(src)
+    spec = importlib.util.spec_from_file_location("old_dedup_r6", tmp.name)
     mod = importlib.util.module_from_spec(spec)
     sys.modules["old_dedup_r6"] = mod
     spec.loader.exec_module(mod)

@@ -126,12 +126,18 @@ def main() -> int:
     import time as _time
 
     class _TimedResults(dict):
-        _last = _time.time()
+        # Instance attribute (not class-level): stamped at construction
+        # — i.e. immediately before section 1 starts — so the first
+        # twin's "sec" doesn't absorb unrelated setup, and a second
+        # instance gets its own clock.
+        def __init__(self):
+            super().__init__()
+            self._last = _time.time()
 
         def __setitem__(self, key, value):
             now = _time.time()
-            value = {**value, "sec": round(now - _TimedResults._last, 3)}
-            _TimedResults._last = now
+            value = {**value, "sec": round(now - self._last, 3)}
+            self._last = now
             super().__setitem__(key, value)
 
     results: dict[str, dict] = _TimedResults()
