@@ -197,7 +197,11 @@ def canonical_selection(
 
     if groups is None:
         groups = dup_groups(docs, threshold=threshold)
-    ntok = docs.select(
+    from apd_map_reduce_spark.plans.layout import spread
+
+    # spread() first (dedup-family rule): the tokenizer is per-row CPU
+    # and a low-split scan would serialize it into one task.
+    ntok = spread(docs).select(
         "doc_id", F.size(normalized_tokens()).cast("long").alias("n_tokens")
     )
     w = Window.partitionBy("component").orderBy(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from apd_map_reduce_spark.plans.layout import explode_nonnull
+from apd_map_reduce_spark.plans.layout import explode_nonnull, spread
 
 from apd_map_reduce_spark.operators.dedup import (
     MAX_SHINGLE_DF,
@@ -85,7 +85,10 @@ def stratified_sample_exact(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
     through one task at any scale. (hash, doc_id) is already a total
     order, so the salted rewrite is output-identical."""
     key = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
-    keyed = docs.select("lang", "doc_id", key.alias("_skey"))
+    # spread(): the md5 sample keys are per-row CPU; a low-split scan
+    # (one row group at sf10) otherwise computes all of them in one
+    # task (adjudicated: med task 6 ms, max 982 ms before the spread).
+    keyed = spread(docs).select("lang", "doc_id", key.alias("_skey"))
     return grouped_topk(
         keyed,
         ["lang"],
@@ -212,7 +215,7 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFr
     Scale: pure per-row explode — no shuffle; output rows ≈ tokens/C,
     so the operator is scan-bound and embarrassingly parallel."""
     toks = normalized_tokens()
-    df = docs.select("doc_id", toks.alias("ts"))
+    df = spread(docs).select("doc_id", toks.alias("ts"))
     n_chunks = F.ceil(F.size("ts") / F.lit(float(chunk_tokens))).cast("int")
     chunk = F.slice(F.col("ts"), F.col("ci") * chunk_tokens + 1, chunk_tokens)
     # when-guarded sequence instead of a size filter: the filter form
@@ -287,8 +290,12 @@ def pack_token_shards(
     # stage, ~2.7 s of the query's ~3 s at sf1) is evaluated twice —
     # measured at sf1: 8.0 s uncached vs 3.0 s cached, min-of-3.
     # Same MEMORY_AND_DISK convention as the dedup family's shingle
-    # caches: spills rather than OOMs at cluster scale.
-    counts = docs.select(
+    # caches: spills rather than OOMs at cluster scale. spread() first
+    # (the dedup-family rule, plans/layout.py) so the tokenize stage
+    # is never serialized by a low-split scan — adjudicated at sf10:
+    # one 500k-row row group put the whole 23 s tokenize pass in ONE
+    # task (med task 61 ms, max 23,299 ms) before the spread.
+    counts = spread(docs).select(
         "lang",
         "doc_id",
         null_safe_size(normalized_tokens()).cast("long").alias("n_tokens"),
@@ -516,7 +523,7 @@ def corpus_source_profile(docs: DataFrame) -> DataFrame:
     distinct-digest count rewrites to a two-level aggregate, still
     keyed by (lang, source, digest) — uniform, skew-free)."""
     toks = normalized_tokens()
-    per_doc = docs.select(
+    per_doc = spread(docs).select(
         "lang",
         "source",
         F.md5("text").alias("digest"),

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from apd_map_reduce_spark.plans.layout import explode_nonnull
+from apd_map_reduce_spark.plans.layout import explode_nonnull, spread
 
 from apd_map_reduce_spark.operators.dedup import (
     _TOKENS_SQL,
@@ -66,7 +66,9 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     Ratios are BIGINT/BIGINT divisions — deterministic doubles from
     identical integer operands on both engines (queries/base.py rules).
     """
-    base = docs.select("doc_id", normalized_tokens().alias("ts"))
+    # spread() first (dedup-family rule, plans/layout.py): never let a
+    # low-split scan serialize the CPU-bound tokenize stage.
+    base = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
     tok = explode_nonnull(base, ["doc_id"], "ts", "tok")
     tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     ta = tc.groupBy("doc_id").agg(
@@ -157,7 +159,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     n_digits = F.regexp_count("text", F.lit("[0-9]")).cast("long")
     n_punct = F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")).cast("long")
     n_stop = F.regexp_count("text", F.lit(_EN_STOP_PAT)).cast("long")
-    counts = docs.select(
+    counts = spread(docs).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_words.alias("n_words"),

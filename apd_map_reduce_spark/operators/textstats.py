@@ -46,8 +46,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
     pre-tokenization proxy); plus punctuation/digit counts.
     """
     # All counts cast to long — DuckDB len()/length() are BIGINT and the
-    # driver compares schemas, not just values.
-    return docs.select(
+    # driver compares schemas, not just values. spread() first (dedup-
+    # family rule): the regexp counts are per-row CPU a low-split scan
+    # would serialize into one task.
+    return spread(docs).select(
         "doc_id",
         null_safe_size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_tokens"),
         F.regexp_count("text", F.lit(_WORD_RE)).cast("long").alias("n_words"),
@@ -61,7 +63,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score (all arithmetic on
     integer-exact counts → deterministic doubles cross-engine)."""
     s = token_stats(docs)
-    stop = docs.select(
+    stop = spread(docs).select(
         "doc_id", _marker_count("text", LANG_MARKERS["en"]).alias("n_stopwords")
     )
     joined = s.join(stop, "doc_id")
@@ -81,7 +83,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-lexicon language guess; ties broken by language code ASC
     (deterministic). Emits the guess and the winning marker count."""
-    scored = docs.select(
+    scored = spread(docs).select(
         "doc_id",
         F.col("text").isNotNull().alias("_has_text"),
         *[
@@ -128,7 +130,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         ),
         " ",
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).cast("long").alias("norm_len"),
@@ -150,7 +152,7 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     """Char-trigram-profile language guess (complement to the
     stopword-marker `lang_id`); same deterministic argmax machinery."""
     lowered = F.lower(F.col("text"))
-    scored = docs.select(
+    scored = spread(docs).select(
         "doc_id",
         F.col("text").isNotNull().alias("_has_text"),
         *[
@@ -216,7 +218,7 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
     """Token counting with a BPE-ish pre-tokenizer regex alongside the
     plain whitespace count — the two standard length signals for
     training-data budgeting."""
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         null_safe_size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_ws_tokens"),
         F.regexp_count("text", F.lit(BPE_SPLIT_RE)).cast("long").alias("n_bpe_tokens"),
@@ -331,7 +333,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         ),
         " ",
     )
-    base = docs.select("doc_id", norm.alias("t")).filter(
+    base = spread(docs).select("doc_id", norm.alias("t")).filter(
         F.length("t") >= WINNOW_K + WINNOW_W - 1
     )
     grams = explode_nonnull(
