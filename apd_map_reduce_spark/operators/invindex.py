@@ -48,12 +48,17 @@ def words(corpus: DataFrame, id_col: str = "file_id", text_col: str = "line") ->
     explode() after the array-level normalize keeps the per-token work
     inside whole-stage codegen and prunes empties before the shuffle.
     """
-    # No spread() here: tokenize+partial-agg is cheap enough that the
-    # extra round-robin shuffle costs more than it buys (A/B at sf0.1:
-    # 0.35s direct vs 0.45s spread). Shingling (dedup.py) differs — its
-    # per-row cost is ~10x and spread wins there. explode_nonnull so
-    # the optimizer's inferred size-filter doesn't re-evaluate the
-    # tokenizer a second time below the scan (plans/layout.py).
+    # No spread() INSIDE words(): the tradeoff is input-layout-
+    # dependent, so the CALLER owns it. The reference CLI path scans
+    # 355 text files (≥ cores splits) where the exchange costs more
+    # than it buys (A/B at sf0.1: 0.35 s direct vs 0.45 s spread); the
+    # registry's parquet corpus is ONE row group per file, where the
+    # unspread scan serializes the tokenize (r9 A/B: word count sf10
+    # 17.6 s direct vs 2.5 s spread) — queries/corpus.py spreads at
+    # its call sites, and the unspread-text-CPU plan gate enforces
+    # that registry-wide. explode_nonnull so the optimizer's inferred
+    # size-filter doesn't re-evaluate the tokenizer a second time
+    # below the scan (plans/layout.py).
     return explode_nonnull(
         corpus, [F.col(id_col).alias("file_id")], tokenize_normalized(text_col), "word"
     ).select("word", "file_id")

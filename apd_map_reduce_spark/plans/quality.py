@@ -276,18 +276,86 @@ def unbounded_collect_agg_hazards(
     return hazards
 
 
+# Regexp-class expressions: the CPU-dense text work (the tokenizer's
+# split+regexp_replace chain, regexp feature counters) whose per-row
+# cost dwarfs the scan's IO cost. Cheap per-row hashing (a bare md5
+# digest feeding a groupBy/join) is deliberately NOT in this set:
+# spreading it would shuffle the full text round-robin to parallelize
+# a ~µs hash that the very next keyed shuffle redistributes anyway.
+_TEXT_CPU_MARKERS = (
+    "regexp_replace(",
+    "regexp_count(",
+    "regexp_extract_all(",
+)
+
+
+def _project_reaches_text_scan_unspread(node) -> bool:
+    """True if `node`'s subtree reaches a file scan that reads the
+    `text` column WITHOUT crossing any exchange or cached-relation
+    boundary — i.e. the projection's per-row work executes inside the
+    scan stage, inheriting the scan's split count (possibly 1)."""
+    cls = node.getClass().getSimpleName()
+    if "Exchange" in cls or cls.startswith("InMemoryTableScan"):
+        return False
+    if cls.startswith(("FileSourceScan", "BatchScan")):
+        out = node.output()
+        return any(
+            out.apply(i).name() == "text" for i in range(out.size())
+        )
+    children = node.children()
+    return any(
+        _project_reaches_text_scan_unspread(children.apply(i))
+        for i in range(children.size())
+    )
+
+
+def unspread_text_cpu_hazards(df: DataFrame) -> list[tuple[str, str]]:
+    """Projections evaluating regexp-class text CPU in the SAME stage
+    as the documents file scan (no exchange below) — the serialized-
+    tokenize class the r9 sf10 adjudication caught: the fixture's
+    documents.parquet is one row group, so the scan stage has ONE live
+    task and the whole tokenize pass ran serially (pack_token_shards:
+    med task 61 ms, max 23,299 ms at sf10; 5.8x wall after the fix).
+    The sanctioned shape is `spread()` between the scan and the
+    per-row-CPU projection (plans/layout.py) — column pruning keeps
+    the heavy expression above the round-robin exchange, so the
+    tokenizer parallelizes regardless of the input's split/row-group
+    layout. The hazard is layout-REALIZED at runtime but
+    plan-PREVENTABLE, which is what this gate locks."""
+    hazards = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls == "ProjectExec":
+            plist = node.projectList()
+            exprs = "; ".join(
+                plist.apply(i).toString() for i in range(plist.size())
+            )
+        elif cls == "GenerateExec":  # tokenizer inlined into an explode
+            exprs = node.generator().toString()
+        else:
+            continue
+        if not any(m in exprs for m in _TEXT_CPU_MARKERS):
+            continue
+        if _project_reaches_text_scan_unspread(node):
+            marker = next(m for m in _TEXT_CPU_MARKERS if m in exprs)
+            hazards.append((cls, marker.rstrip("(")))
+    return hazards
+
+
 def plan_scale_hazards(df: DataFrame) -> dict[str, list]:
     """Every structural 100 TB hazard class over ONE planned
     DataFrame (planning dominates; the class walks share the cached
     queryExecution): unpartitioned windows, small-key windows over
-    unreduced input, small-key shuffle joins, and unbounded collect
-    aggregation state. Returns only the non-empty classes — the
-    registry-wide gate asserts the dict is empty."""
+    unreduced input, small-key shuffle joins, unbounded collect
+    aggregation state, and text-CPU projections inside the scan
+    stage. Returns only the non-empty classes — the registry-wide
+    gate asserts the dict is empty."""
     out = {
         "unpartitioned_windows": unpartitioned_windows(df),
         "small_key_windows": small_key_window_hazards(df),
         "small_key_shuffle_joins": small_key_shuffle_join_hazards(df),
         "unbounded_collect_aggs": unbounded_collect_agg_hazards(df),
+        "unspread_text_cpu": unspread_text_cpu_hazards(df),
     }
     return {k: v for k, v in out.items() if v}
 

@@ -12,12 +12,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apd_map_reduce_spark.operators.invindex import inverted_index, words
+from apd_map_reduce_spark.plans.layout import spread
 from apd_map_reduce_spark.queries.base import QueryDef
 from apd_map_reduce_spark.sources.tables import load_table
 
+# spread() at THESE call sites, not inside words(): the parquet corpus
+# is one row group per file, so the tokenize+explode otherwise runs
+# serialized inside the scan stage (the r9 unspread-text-CPU class —
+# A/B min-of-3: invindex sf1 2.28 s direct vs 0.72 s spread, sf10
+# 24.96 vs 4.12; wordcount sf10 17.57 vs 2.45; sf0.1 costs ≤0.1 s).
+# The reference CLI path keeps words() direct: its 355-file text scan
+# already has ≥ cores splits, where the measured tradeoff favors no
+# extra exchange (invindex.py:words docstring).
+
 
 def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     idx = inverted_index(docs, id_col="doc_id", text_col="text")
     return idx.select(
         "word",
@@ -43,7 +53,7 @@ GROUP BY word
 
 
 def corpus_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         words(docs, id_col="doc_id", text_col="text")
         .groupBy("word")

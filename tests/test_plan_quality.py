@@ -116,7 +116,11 @@ def test_no_plan_scale_hazards(spark, qdef):
       broadcast the small side (BroadcastHashJoin is exempt);
     * collect_set/collect_list aggregation state over empty or
       small-only group keys — O(corpus/|values|) in-memory array per
-      group."""
+      group;
+    * regexp-class text CPU planned inside the documents scan stage
+      (r9 adjudication class: a one-row-group input serialized the
+      whole tokenize pass into one task) — spread() between the scan
+      and the per-row-CPU projection."""
     from apd_map_reduce_spark.plans.quality import plan_scale_hazards
 
     hazards = plan_scale_hazards(qdef.fn(spark, SF_SMOKE))
@@ -152,6 +156,43 @@ def test_small_key_shuffle_join_detector_positive(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     good = docs.join(F.broadcast(dims), "lang")
     assert small_key_shuffle_join_hazards(good) == []
+
+
+def test_unspread_text_cpu_detector_positive(spark):
+    """The serialized-tokenize detector (r9 adjudication class) flags
+    regexp-class CPU planned inside the documents scan stage — both
+    the Project form and the Generate (explode) form — and exempts
+    the sanctioned spread() shape and digest-only projections."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.operators.dedup import normalized_tokens
+    from apd_map_reduce_spark.plans.layout import explode_nonnull, spread
+    from apd_map_reduce_spark.plans.quality import unspread_text_cpu_hazards
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    bad_project = docs.select("doc_id", normalized_tokens().alias("ts"))
+    hits = unspread_text_cpu_hazards(bad_project)
+    assert hits and hits[0][1] == "regexp_replace", hits
+
+    bad_generate = docs.select(
+        "doc_id", F.explode(normalized_tokens()).alias("tok")
+    )
+    assert unspread_text_cpu_hazards(bad_generate), "explode form missed"
+
+    good = spread(docs).select("doc_id", normalized_tokens().alias("ts"))
+    assert unspread_text_cpu_hazards(good) == []
+
+    good_explode = explode_nonnull(
+        spread(docs), ["doc_id"], normalized_tokens(), "tok"
+    )
+    assert unspread_text_cpu_hazards(good_explode) == []
+
+    # digest-only projection over the raw scan is exempt by design:
+    # a bare md5 is IO-dominated and the next keyed shuffle
+    # redistributes it anyway.
+    digest = docs.select("doc_id", F.md5("text").alias("ch"))
+    assert unspread_text_cpu_hazards(digest) == []
 
 
 def test_decorrelated_window_aggs_broadcast_back(spark):
