@@ -61,12 +61,23 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score (all arithmetic on
-    integer-exact counts → deterministic doubles cross-engine)."""
-    s = token_stats(docs)
-    stop = spread(docs).select(
-        "doc_id", _marker_count("text", LANG_MARKERS["en"]).alias("n_stopwords")
+    integer-exact counts → deterministic doubles cross-engine).
+
+    ONE spread projection, not token_stats ⋈ stopwords: every feature
+    is a regexp/length count over the same text column, so the join
+    the old shape planned (two exchanges of the text + a doc_id
+    shuffle) bought nothing — measured at sf0.1 inside
+    corpus_clean_snapshot, the single-pass form removes the whole
+    extra stage."""
+    joined = spread(docs).select(
+        "doc_id",
+        null_safe_size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(_WORD_RE)).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("long").alias("n_digits"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9\\s]")).cast("long").alias("n_punct"),
+        _marker_count("text", LANG_MARKERS["en"]).alias("n_stopwords"),
     )
-    joined = s.join(stop, "doc_id")
     n_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
     n_chars = F.greatest(F.col("n_chars"), F.lit(1))
     return joined.select(
