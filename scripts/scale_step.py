@@ -146,7 +146,12 @@ def main() -> None:
     with_sf10 = "--sf10" in args
     scale_path = "--scale-path" in args
     relational = "--relational" in args
-    args = [a for a in args if a not in ("--no-sf1", "--sf10", "--scale-path", "--relational")]
+    isolate = "--isolate" in args
+    args = [
+        a
+        for a in args
+        if a not in ("--no-sf1", "--sf10", "--scale-path", "--relational", "--isolate")
+    ]
     only: list[str] | None = SCALE_PATH if scale_path else None
     if relational:
         only = RELATIONAL_PATH
@@ -188,6 +193,39 @@ def main() -> None:
             )
         sf_dirs.append(str(SF10_DIR))
 
+    names = list(only) if only is not None else list(QUERIES)
+
+    if isolate:
+        # Fresh JVM PER QUERY (timing protocol unchanged: warm +
+        # min-of-3 within each query's own session). Motivation (r9):
+        # an 18-query × 5-decade sweep in ONE session measured the
+        # later sf10 text queries ~7x slower than the same queries run
+        # in isolation (text_lang_id 18.4 s vs 2.7 s, identical code
+        # and protocol) — deep-session JVM state / sustained box load
+        # is indistinguishable after the fact, so the artifact-of-
+        # record sweep removes the confound structurally.
+        merged: dict[str, dict] = {}
+        for name in names:
+            sub_args = [sys.executable, str(Path(__file__).resolve()),
+                        "/tmp/scale_step_isolated.json", "--only", name]
+            if not with_sf1:
+                sub_args.append("--no-sf1")
+            if with_sf10:
+                sub_args.append("--sf10")
+            subprocess.run(sub_args, check=True)
+            with open("/tmp/scale_step_isolated.json", encoding="utf-8") as fh:
+                merged.update(json.load(fh)["queries"])
+        payload = {
+            "protocol": "warm + min-of-3 noop, caches cleared; fresh JVM per query (--isolate)",
+            "queries": merged,
+        }
+        print(json.dumps(payload))
+        if out_path:
+            with open(out_path, "w", encoding="utf-8") as fh:
+                json.dump(payload, fh, indent=1)
+            print(f"wrote {out_path}")
+        return
+
     spark = get_spark(app_name="scale-step")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -195,7 +233,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
-    for name in only if only is not None else QUERIES:
+    for name in names:
         q = QUERY_INDEX[name]
         per_sf: dict[str, dict] = {}
         for sf_dir in sf_dirs:
