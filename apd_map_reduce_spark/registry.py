@@ -165,7 +165,7 @@ def _interleave(families: list[list[QueryDef]]) -> list[QueryDef]:
 # the whole registry, not the same 50-query prefix forever (r6 verdict
 # directive #2). ROUND is committed once per round; the flagship stays
 # pinned at entry 0 (the `entry()` / bench flagship contract).
-ROUND = 9
+ROUND = 10
 _GATE_WINDOW = 49  # driver window (50) minus the pinned flagship
 
 # Round 9 closes the cumulative-gate story (r8 verdict directive #1):
