@@ -304,9 +304,19 @@ def _shard(col: str = "doc_id", block: int = POSTING_SHARD_BLOCK) -> Column:
     domain, matching the oracles' `doc_id // block` there. Spark's
     `div` truncates toward zero while Python's `//` floors, so the two
     diverge for NEGATIVE ids — doc ids are non-negative by the corpus
-    contract (manifest ordinals and synthesized ids start at 0/1), and
-    `tests/test_hash_slice.py`-style fixtures never go below 0."""
-    return F.expr(f"{col} div {block}")
+    contract (manifest ordinals and synthesized ids start at 0/1).
+    The contract is ENFORCED here, not assumed: a negative id raises
+    executor-side (one comparison per row, no extra job) instead of
+    silently diverging from the `//`-floored oracle."""
+    return F.when(F.col(col) >= 0, F.expr(f"{col} div {block}")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"negative {col}: violates the non-negative corpus id "
+                "contract (Spark `div` truncates, oracle `//` floors — "
+                "results would silently diverge)"
+            )
+        )
+    )
 
 
 def sharded_positional_index(

@@ -321,24 +321,54 @@ def unspread_text_cpu_hazards(df: DataFrame) -> list[tuple[str, str]]:
     the heavy expression above the round-robin exchange, so the
     tokenizer parallelizes regardless of the input's split/row-group
     layout. The hazard is layout-REALIZED at runtime but
-    plan-PREVENTABLE, which is what this gate locks."""
-    hazards = []
-    for node in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
-        cls = node.getClass().getSimpleName()
-        if cls == "ProjectExec":
-            plist = node.projectList()
-            exprs = "; ".join(
-                plist.apply(i).toString() for i in range(plist.size())
-            )
-        elif cls == "GenerateExec":  # tokenizer inlined into an explode
-            exprs = node.generator().toString()
-        else:
-            continue
-        if not any(m in exprs for m in _TEXT_CPU_MARKERS):
-            continue
-        if _project_reaches_text_scan_unspread(node):
-            marker = next(m for m in _TEXT_CPU_MARKERS if m in exprs)
-            hazards.append((cls, marker.rstrip("(")))
+    plan-PREVENTABLE, which is what this gate locks.
+
+    Environment pin: spread() plans its exchange only when the input
+    has fewer partitions than defaultParallelism, so on a 1-core
+    session the sanctioned shape compiles to a no-op and this gate
+    would flag plans that are clean everywhere else. Detection
+    therefore REQUIRES parallelism >= 2 (tests pin local[4]); a
+    1-core session raises instead of returning unreliable results.
+
+    Cached relations: an InMemoryTableScan is a safe boundary for the
+    OUTER projection (reading the cache is not the file-scan stage),
+    but the cache's own one-time materialization executes the cached
+    plan verbatim — so each distinct cached plan is walked with the
+    same detector, closing the false negative."""
+    if df.sparkSession.sparkContext.defaultParallelism < 2:
+        raise RuntimeError(
+            "unspread_text_cpu_hazards needs defaultParallelism >= 2: "
+            "spread() is a planned no-op on a 1-core session, so the "
+            "detector cannot distinguish gated from hazardous plans "
+            "(run the gate under local[>=2]; tests pin local[4])"
+        )
+
+    def _scan(root, hazards, seen_cached):
+        for node in _iter_plan_nodes(root):
+            cls = node.getClass().getSimpleName()
+            if cls.startswith("InMemoryTableScan"):
+                cached = node.relation().cachedPlan()
+                if cached.id() not in seen_cached:
+                    seen_cached.add(cached.id())
+                    _scan(cached, hazards, seen_cached)
+                continue
+            if cls == "ProjectExec":
+                plist = node.projectList()
+                exprs = "; ".join(
+                    plist.apply(i).toString() for i in range(plist.size())
+                )
+            elif cls == "GenerateExec":  # tokenizer inlined into explode
+                exprs = node.generator().toString()
+            else:
+                continue
+            if not any(m in exprs for m in _TEXT_CPU_MARKERS):
+                continue
+            if _project_reaches_text_scan_unspread(node):
+                marker = next(m for m in _TEXT_CPU_MARKERS if m in exprs)
+                hazards.append((cls, marker.rstrip("(")))
+
+    hazards: list[tuple[str, str]] = []
+    _scan(df._jdf.queryExecution().executedPlan(), hazards, set())
     return hazards
 
 

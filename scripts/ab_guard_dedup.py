@@ -103,6 +103,7 @@ def load_old_dedup():
     mod = importlib.util.module_from_spec(spec)
     sys.modules["old_dedup_r6"] = mod
     spec.loader.exec_module(mod)
+    os.unlink(tmp.name)  # source already loaded; don't leak one file per run
     return mod
 
 

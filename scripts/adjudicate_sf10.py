@@ -56,13 +56,13 @@ QUERIES = [
     "stratified_sample_exact",
 ]
 SF_DIRS = {"sf1": REPO / ".scale" / "sf1", "sf10": REPO / ".scale" / "sf10"}
-UI_PORT = 4049
+UI_PORT = 4049  # requested port; Spark binds 4050+ if taken, so _rest
+# derives the actual base from sparkContext.uiWebUrl after startup.
+UI_BASE = f"http://localhost:{UI_PORT}"
 
 
 def _rest(app_path: str):
-    with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1/{app_path}", timeout=30
-    ) as r:
+    with urllib.request.urlopen(f"{UI_BASE}/api/v1/{app_path}", timeout=30) as r:
         return json.load(r)
 
 
@@ -132,6 +132,16 @@ def main() -> int:
         i = args.index("--passes")
         passes = int(args[i + 1])
         del args[i : i + 2]
+    sf_dirs = SF_DIRS
+    if "--sf-dirs" in args:  # e.g. --sf-dirs sf0.1=/root/testdata/sf0.1
+        i = args.index("--sf-dirs")
+        sf_dirs = {
+            lbl: Path(p)
+            for lbl, _, p in (
+                part.partition("=") for part in args[i + 1].split(",")
+            )
+        }
+        del args[i : i + 2]
     out_path = Path(args[0]) if args else REPO / "SCALING_r9_adjudication.json"
 
     spark = get_spark(
@@ -144,6 +154,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
+    global UI_BASE
+    if spark.sparkContext.uiWebUrl:
+        UI_BASE = spark.sparkContext.uiWebUrl
 
     results: dict = {
         "directive": "r8 verdict #2: per-query sf1->sf10 cause adjudication",
@@ -164,11 +177,15 @@ def main() -> int:
         "queries": {},
     }
 
-    names = [q for q in QUERIES if only is None or q in only]
+    # --only may name ANY registry query, not just the default set
+    if only is None:
+        names = list(QUERIES)
+    else:
+        names = [q for q in QUERIES if q in only] + sorted(only - set(QUERIES))
     for name in names:
         qdef = QUERY_INDEX[name]
         entry: dict = {}
-        for sf_label, sf_dir in SF_DIRS.items():
+        for sf_label, sf_dir in sf_dirs.items():
             if not sf_dir.exists():
                 continue
             # warm (untimed, ungrouped)

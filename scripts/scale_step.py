@@ -28,6 +28,7 @@ operators; merge into the committed artifact with the full run.)
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -205,16 +206,21 @@ def main() -> None:
         # is indistinguishable after the fact, so the artifact-of-
         # record sweep removes the confound structurally.
         merged: dict[str, dict] = {}
+        # Per-PID path: two concurrent --isolate invocations must not
+        # round-trip through the same file (same race ab_guard_dedup
+        # fixed for its shadow-module source).
+        iso_path = f"/tmp/scale_step_isolated.{os.getpid()}.json"
         for name in names:
             sub_args = [sys.executable, str(Path(__file__).resolve()),
-                        "/tmp/scale_step_isolated.json", "--only", name]
+                        iso_path, "--only", name]
             if not with_sf1:
                 sub_args.append("--no-sf1")
             if with_sf10:
                 sub_args.append("--sf10")
             subprocess.run(sub_args, check=True)
-            with open("/tmp/scale_step_isolated.json", encoding="utf-8") as fh:
+            with open(iso_path, encoding="utf-8") as fh:
                 merged.update(json.load(fh)["queries"])
+        os.unlink(iso_path)
         payload = {
             "protocol": "warm + min-of-3 noop, caches cleared; fresh JVM per query (--isolate)",
             "queries": merged,

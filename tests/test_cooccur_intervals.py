@@ -117,6 +117,21 @@ def test_positional_index_postings(spark):
     assert got == {"a": (2, "1:2,2:1"), "b": (2, "1:1,1:3")}
 
 
+def test_shard_key_rejects_negative_doc_id(spark):
+    # _shard uses Spark `div` (truncates toward zero) while the DuckDB
+    # oracles use `//` (floors); they agree ONLY for non-negative ids,
+    # so the contract must fail loudly, not silently diverge.
+    import pytest
+
+    from apd_map_reduce_spark.operators.cooccur import _shard
+
+    ok = spark.createDataFrame([(0,), (127,), (128,)], "doc_id long")
+    assert [r.s for r in ok.select(_shard().alias("s")).collect()] == [0, 0, 1]
+    bad = spark.createDataFrame([(-5,)], "doc_id long")
+    with pytest.raises(Exception, match="non-negative corpus id contract"):
+        bad.select(_shard().alias("s")).collect()
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     docs = _docs(
         spark,

@@ -223,3 +223,54 @@ def test_explode_nonnull_null_element_divergence(spark):
     assert sorted(((r.id, r.x) for r in inner), key=str) == [
         (1, "a"), (1, "b"), (1, None),
     ]
+
+
+def test_explode_nonnull_contract_on_null_elements(spark):
+    """Documents explode_nonnull's precondition (plans/layout.py): it
+    is result-identical to a plain inner explode ONLY when the array's
+    elements are non-null by construction. Over an array that contains
+    NULL elements the two DIVERGE — explode_nonnull drops those rows
+    (its IS NOT NULL filter cannot tell a null element from the
+    explode_outer row of an empty/NULL array). A misuse therefore
+    silently loses rows; this test pins the exact divergence so the
+    contract is machine-checked, not just a docstring."""
+    from apd_map_reduce_spark.plans.layout import (
+        explode_nonnull,
+        posexplode_nonnull,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"]), (2, []), (3, None), (4, ["c"])],
+        "id long, xs array<string>",
+    )
+
+    # Non-null-element rows: identical to the plain inner explode.
+    clean = df.filter(~F.exists("xs", lambda x: x.isNull()))
+    plain = sorted(
+        (r.id, r.x) for r in clean.select("id", F.explode("xs").alias("x")).collect()
+    )
+    helper = sorted(
+        (r.id, r.x) for r in explode_nonnull(clean, ["id"], "xs", "x").collect()
+    )
+    assert plain == helper == [(4, "c")]
+
+    # Null-element rows: the helper DROPS them, the inner explode keeps
+    # them — the documented divergence.
+    key = lambda t: (t[0], t[1] is not None, t[1] or "")  # noqa: E731
+    plain_all = sorted(
+        ((r.id, r.x) for r in df.select("id", F.explode("xs").alias("x")).collect()),
+        key=key,
+    )
+    helper_all = sorted(
+        ((r.id, r.x) for r in explode_nonnull(df, ["id"], "xs", "x").collect()),
+        key=key,
+    )
+    assert plain_all == [(1, None), (1, "a"), (1, "b"), (4, "c")]
+    assert helper_all == [(1, "a"), (1, "b"), (4, "c")]
+
+    # posexplode twin: same contract, same divergence.
+    pos_all = sorted(
+        (r.id, r.p, r.x)
+        for r in posexplode_nonnull(df, ["id"], "xs", "p", "x").collect()
+    )
+    assert pos_all == [(1, 0, "a"), (1, 2, "b"), (4, 0, "c")]
