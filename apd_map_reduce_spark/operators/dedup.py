@@ -2067,6 +2067,100 @@ WHERE ROUND(CAST(p.n_common AS DOUBLE) / (cb.n + cc.n - p.n_common), 6) >= {thre
 """
 
 
+def shingle_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty: of a doc's distinct word-3-gram
+    shingles, how many are UNIQUE to it corpus-wide (df = 1), and the
+    unique fraction — the standard memorization/boilerplate triage
+    signal (high novelty = mostly original text; low novelty = text
+    assembled from n-grams other documents also carry). Docs with no
+    shingles (< 3 tokens after P1/P2 normalization) emit no row, same
+    as every shingle-family operator.
+
+    Scale shape: the df aggregation shuffles on `sh`; the sh ⋈ df join
+    is on the SAME key, so the exchange is reused, and the right side
+    is unique-per-sh so the join fans out exactly 1 — output stays
+    |sh|-sized regardless of how hot a shingle is (contrast the pair
+    enumerators, which need the stop-shingle guard). The final per-doc
+    aggregation is map-side partial on doc_id. `novelty` is the raw
+    IEEE quotient of two exact ints (≤ 2^53) — correctly-rounded and
+    bit-identical cross-engine, no ROUND needed."""
+    sh = doc_shingle_hashes(docs).cache()  # scanned twice: df agg + join probe
+    df_rel = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_rel, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.col("n_unique").cast("double") / F.col("n_shingles")
+        )
+    )
+
+
+SHINGLE_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT sh, COUNT(*) AS df FROM shh GROUP BY sh)
+SELECT s.doc_id,
+       COUNT(*)::BIGINT AS n_shingles,
+       SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS novelty
+FROM shh s JOIN dfreq d USING (sh)
+GROUP BY s.doc_id
+"""
+
+
+def source_overlap_matrix(
+    docs: DataFrame, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Cross-source near-duplicate matrix: for every unordered source
+    pair, how many verified near-dup pairs (LSH screen + exact
+    filtered-universe Jaccard ≥ threshold) span them — the curation
+    view that tells you WHICH ingest sources overlap (mirror sites,
+    re-crawls, syndicated content) before deciding per-source mixture
+    weights. Diagonal rows (source_x = source_y) count within-source
+    duplication.
+
+    Scale shape: the pair relation is LSH-candidate-scoped (never
+    all-pairs, band buckets bounded by the stop-shingle guard — see
+    `minhash_lsh_pairs`); the two source lookups join on high-card
+    doc_id; the final aggregation's key domain is |sources|² but
+    partial aggregation reduces each task's output to that domain
+    before the shuffle. Source is NULL-coalesced to '' on both engines
+    so LEAST/GREATEST never see NULL."""
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    src = docs.select("doc_id", F.coalesce("source", F.lit("")).alias("src"))
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("src").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("src").alias("src_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _source_overlap_oracle(threshold: float = NEARDUP_THRESHOLD) -> str:
+    return f"""
+WITH nd AS ({_minhash_oracle(threshold=threshold)}),
+src AS (SELECT doc_id, COALESCE(source, '') AS src FROM documents)
+SELECT LEAST(a.src, b.src) AS source_x,
+       GREATEST(a.src, b.src) AS source_y,
+       COUNT(*)::BIGINT AS n_pairs
+FROM nd
+JOIN src a ON nd.doc_a = a.doc_id
+JOIN src b ON nd.doc_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 DEDUP_QUERIES = [
     QueryDef("dedup_exact", lambda s, d: dedup_exact(_docs(s, d)), DEDUP_EXACT_ORACLE),
     QueryDef(
@@ -2155,5 +2249,15 @@ DEDUP_QUERIES = [
         "simhash_near_dups",
         lambda s, d: simhash_near_dups(_docs(s, d)),
         _simhash_pairs_oracle(),
+    ),
+    QueryDef(
+        "text_shingle_novelty",
+        lambda s, d: shingle_novelty(_docs(s, d)),
+        SHINGLE_NOVELTY_ORACLE,
+    ),
+    QueryDef(
+        "dedup_source_overlap_matrix",
+        lambda s, d: source_overlap_matrix(_docs(s, d)),
+        _source_overlap_oracle(),
     ),
 ]

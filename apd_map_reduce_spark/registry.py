@@ -201,15 +201,29 @@ _NEVER_DRIVER_HASHED_R9 = frozenset(
 )
 
 
+# Queries ADDED in the current round (standing policy, the r9 closing
+# mechanism generalized): a new registry entry has no prior driver hash
+# by construction, so it is hoisted to the head of the gate window and
+# externally hashed the SAME round it lands — the cumulative-coverage
+# invariant (every query driver-hashed at least once, pinned by
+# tests/test_rotation_coverage.py) never regresses when the surface
+# grows. Empty this set (and re-point it) when a later round adds
+# queries of its own.
+_NEW_IN_ROUND = frozenset(
+    {
+        "text_shingle_novelty",
+        "dedup_source_overlap_matrix",
+    }
+)
+
+
 def _rotate(qs: list[QueryDef]) -> list[QueryDef]:
     head, rest = qs[0], qs[1:]
     off = ((ROUND - 6) * _GATE_WINDOW) % len(rest) if rest else 0
     rotated = rest[off:] + rest[:off]
-    if ROUND == 9:
-        hoist = [q for q in rotated if q.name in _NEVER_DRIVER_HASHED_R9]
-        rotated = hoist + [
-            q for q in rotated if q.name not in _NEVER_DRIVER_HASHED_R9
-        ]
+    hoist_names = _NEVER_DRIVER_HASHED_R9 if ROUND == 9 else _NEW_IN_ROUND
+    hoist = [q for q in rotated if q.name in hoist_names]
+    rotated = hoist + [q for q in rotated if q.name not in hoist_names]
     return [head] + rotated
 
 

@@ -427,3 +427,61 @@ def test_lsh_screened_jaccard_agrees_with_minhash_on_planted_dups(spark):
     assert (1, 3) in out and out[(1, 3)] > 0.8
     assert (2, 3) in out and out[(2, 3)] == out[(1, 3)]
     assert all(4 not in p for p in out)
+
+
+def test_shingle_novelty_hand_counts(spark):
+    # d1 "a b c d" -> {abc, bcd}; d2 "a b c e" -> {abc, bce};
+    # d3 "x y z w" -> {xyz, yzw}. df: abc=2, rest=1.
+    from apd_map_reduce_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "w"), (2, "a b c e", "w"), (3, "x y z w", "b"),
+         (4, "too short", "w"), (5, None, "w")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+        for r in shingle_novelty(docs).collect()
+    }
+    # <3-token and NULL docs emit no row (no shingles), like every
+    # shingle-family operator.
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 2, 1.0)}
+    spark.catalog.clearCache()
+
+
+def test_source_overlap_matrix_spanning_pair(spark):
+    # Identical text in two sources -> exactly one near-dup pair,
+    # reported under the (least, greatest) source ordering; the
+    # unrelated doc contributes nothing.
+    from apd_map_reduce_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "web"),
+         (2, "the quick brown fox jumps", "books"),
+         (3, "completely different text entirely here", "web")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_x, r.source_y): r.n_pairs
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got == {("books", "web"): 1}
+    spark.catalog.clearCache()
+
+
+def test_source_overlap_matrix_null_source_coalesced(spark):
+    # NULL source must land in the '' bucket, not vanish through
+    # LEAST/GREATEST NULL semantics.
+    from apd_map_reduce_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", None),
+         (2, "the quick brown fox jumps", "web")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_x, r.source_y): r.n_pairs
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got == {("", "web"): 1}
+    spark.catalog.clearCache()

@@ -19,9 +19,15 @@ def test_hoist_list_matches_artifacts():
     if registry.ROUND == 9:
         assert set(registry._NEVER_DRIVER_HASHED_R9) == derived_never
     else:
-        # From r10 on the hoist no longer applies; the artifacts must
-        # then show full cumulative coverage (CORRECTNESS_r09 included).
-        assert not derived_never
+        # From r10 on cumulative coverage is closed (CORRECTNESS_r09
+        # included): the only queries allowed to lack a driver hash
+        # are the ones ADDED in the current round, which the registry
+        # hoists into the gate window (checked by the test below) so
+        # they are hashed the round they land.
+        assert derived_never <= set(registry._NEW_IN_ROUND), (
+            f"never-driver-hashed queries that are not new this round: "
+            f"{derived_never - set(registry._NEW_IN_ROUND)}"
+        )
 
 
 def test_window_covers_never_hashed():
