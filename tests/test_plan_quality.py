@@ -195,6 +195,36 @@ def test_unspread_text_cpu_detector_positive(spark):
     assert unspread_text_cpu_hazards(digest) == []
 
 
+def test_unspread_text_cpu_detector_sees_through_cache(spark):
+    """The r9-advice false negative: a cached relation's one-time
+    materialization executes the cached plan verbatim, so a hazard
+    buried UNDER a .cache() must still be flagged (the detector
+    recurses into each distinct InMemoryTableScan's cachedPlan), and
+    the sanctioned spread-then-cache shape must stay clean."""
+    from pyspark.sql import functions as F
+
+    from apd_map_reduce_spark.operators.dedup import normalized_tokens
+    from apd_map_reduce_spark.plans.layout import spread
+    from apd_map_reduce_spark.plans.quality import unspread_text_cpu_hazards
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    bad_cached = docs.select("doc_id", normalized_tokens().alias("ts")).cache()
+    consumer = bad_cached.select("doc_id", F.size("ts").alias("n"))
+    try:
+        hits = unspread_text_cpu_hazards(consumer)
+        assert hits and hits[0][1] == "regexp_replace", hits
+
+        good_cached = spread(docs).select(
+            "doc_id", normalized_tokens().alias("ts")
+        ).cache()
+        good_consumer = good_cached.select("doc_id", F.size("ts").alias("n"))
+        assert unspread_text_cpu_hazards(good_consumer) == []
+    finally:
+        bad_cached.unpersist()
+        spark.catalog.clearCache()
+
+
 def test_decorrelated_window_aggs_broadcast_back(spark):
     """The r8 agg+broadcast-join rewrites must actually PLAN the
     broadcast: the per-type min and per-nation avg relations join back
