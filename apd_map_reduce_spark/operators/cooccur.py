@@ -305,15 +305,19 @@ def _shard(col: str = "doc_id", block: int = POSTING_SHARD_BLOCK) -> Column:
     `div` truncates toward zero while Python's `//` floors, so the two
     diverge for NEGATIVE ids — doc ids are non-negative by the corpus
     contract (manifest ordinals and synthesized ids start at 0/1).
-    The contract is ENFORCED here, not assumed: a negative id raises
-    executor-side (one comparison per row, no extra job) instead of
-    silently diverging from the `//`-floored oracle."""
+    The contract is ENFORCED here, not assumed: a negative OR NULL id
+    raises executor-side (one comparison per row, no extra job) instead
+    of silently diverging from the `//`-floored oracle. NULL takes the
+    same otherwise-branch (`NULL >= 0` is NULL, not true), so the
+    message names both violations rather than misdiagnosing a NULL as
+    negative (ADVICE r10)."""
     return F.when(F.col(col) >= 0, F.expr(f"{col} div {block}")).otherwise(
         F.raise_error(
             F.lit(
-                f"negative {col}: violates the non-negative corpus id "
-                "contract (Spark `div` truncates, oracle `//` floors — "
-                "results would silently diverge)"
+                f"negative or NULL {col}: violates the non-negative "
+                "corpus id contract (Spark `div` truncates, oracle `//` "
+                "floors — results would silently diverge; NULL ids have "
+                "no shard)"
             )
         )
     )

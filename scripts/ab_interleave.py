@@ -33,6 +33,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -78,13 +79,19 @@ def _git(*args: str) -> str:
 
 def _child(tree: Path, sf_dir: str, timed_runs: int, names: list[str]) -> dict:
     env = dict(os.environ)
-    # Subprocess cwd = the variant's tree so any tree-relative paths
-    # (spark-warehouse, derby.log) stay inside it.
-    proc = subprocess.run(
-        [sys.executable, "-c", CHILD_SRC, str(tree), sf_dir,
-         str(timed_runs), ",".join(names)],
-        capture_output=True, text=True, cwd=str(tree), env=env,
-    )
+    # Per-variant scratch cwd: Spark's cwd-relative droppings
+    # (spark-warehouse, derby.log, metastore_db) land in /tmp, not in
+    # the live working tree (ADVICE r10). sys.path is pinned to `tree`
+    # inside CHILD_SRC, so cwd carries no import meaning.
+    scratch = Path(tempfile.mkdtemp(prefix=f"ab_{tree.name}_"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", CHILD_SRC, str(tree), sf_dir,
+             str(timed_runs), ",".join(names)],
+            capture_output=True, text=True, cwd=str(scratch), env=env,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     for line in proc.stdout.splitlines():
         if line.startswith("ABCHILD "):
             return json.loads(line[len("ABCHILD "):])

@@ -126,6 +126,14 @@ def main() -> int:
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
+        # Fail fast on typos BEFORE any Spark runs burn minutes — a bad
+        # name would otherwise KeyError only when its loop iteration is
+        # reached (ADVICE r10).
+        unknown = sorted(only - set(QUERY_INDEX))
+        if unknown:
+            print(f"unknown --only queries (not in registry): {unknown}",
+                  file=sys.stderr)
+            return 2
         del args[i : i + 2]
     passes = 3
     if "--passes" in args:

@@ -47,7 +47,15 @@ Deterministic (numpy default_rng, fixed seed) and written OUTSIDE
 <repo>/.scale/sf1, gitignored; only this generator is committed.
 
 Usage: python scripts/gen_scale_tables.py [out_dir] [sf01_dir]
-           [--doc-mult N] [--emb-mult N]
+           [--doc-mult N] [--emb-mult N] [--layout spread|onegroup]
+
+Layout: `spread` (default, ~32 row groups per numpy-written table) is
+the standing adjudication fixture — realistic corpora ship many row
+groups, and the old 1-row-group layout serialized per-row-CPU scan
+stages into one task, polluting two rounds of growth numbers
+(SCALING_r9/r10). `onegroup` regenerates that pathological layout on
+purpose; it remains the unspread-text-CPU-gate fixture. Layout never
+changes data values — same seed, same rows.
 
 The multipliers scale relative to the sf0.1 base tables: the defaults
 (10, 4) produce sf1; (100, 16) produces sf10 (500k docs / 32k
@@ -79,10 +87,22 @@ SEED = 421
 FIXTURE_VERSION = 2
 DOC_MULT = 10  # default: sf1
 EMB_MULT = 4
+# Standing layout default (r10 verdict directive #2): ~32 row groups
+# per numpy-written table. A single-row-group parquet serializes every
+# per-row-CPU stage planned inside the scan into ONE task (Spark
+# splits by bytes but tasks align to row groups), which contaminated
+# two rounds of growth adjudications (SCALING_r9/r10: pack 3.76x ->
+# 2.35x with layout the only variable). Real corpora ship many
+# files/row groups, so the spread layout is the realistic default;
+# the 1-row-group variant stays available via --layout onegroup as
+# the unspread-text-CPU-gate fixture. Layout does NOT change data:
+# same seed, same rows, only row-group boundaries differ.
+ROW_GROUPS = 32
 
 
 def gen_documents(
-    rng: np.random.Generator, sf01_dir: str, out: Path, mult: int = DOC_MULT
+    rng: np.random.Generator, sf01_dir: str, out: Path, mult: int = DOC_MULT,
+    row_groups: int = ROW_GROUPS,
 ) -> int:
     con = duckdb.connect()
     base = con.sql(
@@ -134,12 +154,16 @@ def gen_documents(
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, out / "documents.parquet")
+    pq.write_table(
+        tbl, out / "documents.parquet",
+        row_group_size=max(1, -(-n // row_groups)),
+    )
     return n
 
 
 def gen_embeddings(
-    rng: np.random.Generator, out: Path, mult: int = EMB_MULT
+    rng: np.random.Generator, out: Path, mult: int = EMB_MULT,
+    row_groups: int = ROW_GROUPS,
 ) -> int:
     n = 2000 * mult
     labels = rng.integers(0, 10, n)
@@ -156,7 +180,10 @@ def gen_embeddings(
             "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
-    pq.write_table(tbl, out / "embeddings.parquet")
+    pq.write_table(
+        tbl, out / "embeddings.parquet",
+        row_group_size=max(1, -(-n // row_groups)),
+    )
     return n
 
 
@@ -228,19 +255,30 @@ def main() -> int:
         i = args.index("--rel-mult")
         rel_mult = int(args[i + 1])
         del args[i : i + 2]
+    layout = "spread"
+    if "--layout" in args:
+        i = args.index("--layout")
+        layout = args[i + 1]
+        del args[i : i + 2]
+    if layout not in ("spread", "onegroup"):
+        print(f"--layout must be spread|onegroup, got {layout!r}", file=sys.stderr)
+        return 2
+    row_groups = ROW_GROUPS if layout == "spread" else 1
     skip_rel = "--no-rel" in args
     args = [a for a in args if a != "--no-rel"]
     out = Path(args[0]) if args else DEFAULT_OUT
     sf01 = args[1] if len(args) > 1 else DEFAULT_SF01
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED if (doc_mult, emb_mult) == (DOC_MULT, EMB_MULT) else SEED + 1)
-    nd = gen_documents(rng, sf01, out, mult=doc_mult)
-    ne = gen_embeddings(rng, out, mult=emb_mult)
+    nd = gen_documents(rng, sf01, out, mult=doc_mult, row_groups=row_groups)
+    ne = gen_embeddings(rng, out, mult=emb_mult, row_groups=row_groups)
     rel = {} if skip_rel else gen_relational(sf01, out, mult=rel_mult)
-    (out / "FIXTURE_VERSION").write_text(f"{FIXTURE_VERSION}\n")
+    (out / "FIXTURE_VERSION").write_text(
+        f"{FIXTURE_VERSION}\nlayout={layout} row_groups={row_groups}\n"
+    )
     print(
         f"wrote {out}: documents={nd} embeddings={ne} {rel}"
-        f" fixture_version={FIXTURE_VERSION}"
+        f" fixture_version={FIXTURE_VERSION} layout={layout}"
     )
     return 0
 

@@ -210,17 +210,22 @@ def main() -> None:
         # round-trip through the same file (same race ab_guard_dedup
         # fixed for its shadow-module source).
         iso_path = f"/tmp/scale_step_isolated.{os.getpid()}.json"
-        for name in names:
-            sub_args = [sys.executable, str(Path(__file__).resolve()),
-                        iso_path, "--only", name]
-            if not with_sf1:
-                sub_args.append("--no-sf1")
-            if with_sf10:
-                sub_args.append("--sf10")
-            subprocess.run(sub_args, check=True)
-            with open(iso_path, encoding="utf-8") as fh:
-                merged.update(json.load(fh)["queries"])
-        os.unlink(iso_path)
+        try:
+            for name in names:
+                sub_args = [sys.executable, str(Path(__file__).resolve()),
+                            iso_path, "--only", name]
+                if not with_sf1:
+                    sub_args.append("--no-sf1")
+                if with_sf10:
+                    sub_args.append("--sf10")
+                subprocess.run(sub_args, check=True)
+                with open(iso_path, encoding="utf-8") as fh:
+                    merged.update(json.load(fh)["queries"])
+        finally:
+            # Guarded: empty --only list never created the file, and a
+            # failed subprocess must not leak the temp file (ADVICE r10).
+            if os.path.exists(iso_path):
+                os.unlink(iso_path)
         payload = {
             "protocol": "warm + min-of-3 noop, caches cleared; fresh JVM per query (--isolate)",
             "queries": merged,

@@ -130,6 +130,12 @@ def test_shard_key_rejects_negative_doc_id(spark):
     bad = spark.createDataFrame([(-5,)], "doc_id long")
     with pytest.raises(Exception, match="non-negative corpus id contract"):
         bad.select(_shard().alias("s")).collect()
+    # NULL ids take the same otherwise-branch (NULL >= 0 is NULL) and
+    # the message must name NULL, not misdiagnose it as negative
+    # (ADVICE r10).
+    nul = spark.createDataFrame([(None,)], "doc_id long")
+    with pytest.raises(Exception, match="negative or NULL doc_id"):
+        nul.select(_shard().alias("s")).collect()
 
 
 def test_tfidf_rare_term_outranks_common(spark):
