@@ -2147,6 +2147,108 @@ def source_overlap_matrix(
     )
 
 
+def cluster_size_histogram(docs: DataFrame) -> DataFrame:
+    """Log2-bucketed histogram of exact-duplicate cluster sizes — the
+    one-screen corpus-duplication health view (how much of the corpus
+    is singletons vs 2-copy mirrors vs 1000-copy boilerplate blasts),
+    the summary a curation run reads BEFORE deciding dedup policy.
+    bucket = floor(log2(n_copies)) computed by integer bit-length
+    (`length(bin(n)) - 1`), never float log2 — exact cross-engine for
+    the full 64-bit count domain. bucket 0 = unique docs, bucket k =
+    clusters of size [2^k, 2^(k+1)).
+
+    Scale shape: one shuffle on the md5 digest (uniform keys, same as
+    `dedup_exact`); the second aggregation's key domain is ≤ 64
+    buckets, so map-side partial aggregation collapses each task's
+    output to that domain before a negligible shuffle."""
+    sizes = docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    bucket = (F.length(F.expr("bin(n_copies)")) - 1).cast("int")
+    return (
+        sizes.select(bucket.alias("bucket"), "n_copies")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+        )
+    )
+
+
+CLUSTER_HISTOGRAM_ORACLE = """
+WITH s AS (SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1)
+SELECT (length(printf('%b', n_copies)) - 1)::INT AS bucket,
+       COUNT(*)::BIGINT AS n_clusters,
+       SUM(n_copies)::BIGINT AS n_docs
+FROM s GROUP BY 1
+"""
+
+
+# Deterministic pseudo-sample for the contamination probe: docs whose
+# id is ≡ 0 (mod 101) stand in for "the benchmark set" (~1% of any
+# corpus, non-empty at every test SF). Real deployments substitute the
+# actual eval-set relation; the operator's shape is independent of how
+# the benchmark side is selected.
+CONTAMINATION_MODULUS = 101
+
+
+def contamination_probe(
+    docs: DataFrame, modulus: int = CONTAMINATION_MODULUS
+) -> DataFrame:
+    """Train/eval decontamination probe: for each "benchmark" document
+    (deterministic ~1% sample, see CONTAMINATION_MODULUS), the fraction
+    of its distinct word-3-gram shingles that also occur in ANY
+    non-benchmark document — the standard check that a training corpus
+    has not absorbed the eval set (high contamination = the benchmark
+    text is reconstructible from the corpus; GPT-3 appendix-C-style
+    n-gram decontamination re-expressed as one relational pass).
+    Benchmark docs with no shingles (< 3 tokens) emit no row, matching
+    every shingle-family operator.
+
+    Scale shape: the corpus-side distinct-shingle set shuffles on `sh`;
+    the probe join is on the SAME key so the exchange is reused, and
+    the right side is unique-per-sh (distinct), so the join fans out
+    exactly 1 — output stays |benchmark shingles|-sized no matter how
+    hot a shingle is. No stop-shingle guard needed: there is no pair
+    enumeration, only per-shingle membership. The final per-doc
+    aggregation is map-side partial on doc_id. `contamination` is a
+    raw IEEE int/int quotient — bit-identical cross-engine."""
+    sh = doc_shingle_hashes(docs)
+    is_bench = (F.col("doc_id") % modulus) == 0
+    bench = sh.where(is_bench)
+    corpus = (
+        sh.where(~is_bench).select("sh").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        bench.join(corpus, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
+CONTAMINATION_PROBE_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT doc_id, sh FROM shh WHERE doc_id % {CONTAMINATION_MODULUS} = 0),
+corpus AS (
+  SELECT DISTINCT sh FROM shh WHERE doc_id % {CONTAMINATION_MODULUS} <> 0
+)
+SELECT b.doc_id,
+       COUNT(*)::BIGINT AS n_shingles,
+       SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+         AS contamination
+FROM bench b LEFT JOIN corpus c ON b.sh = c.sh
+GROUP BY b.doc_id
+"""
+
+
 def _source_overlap_oracle(threshold: float = NEARDUP_THRESHOLD) -> str:
     return f"""
 WITH nd AS ({_minhash_oracle(threshold=threshold)}),
@@ -2259,5 +2361,15 @@ DEDUP_QUERIES = [
         "dedup_source_overlap_matrix",
         lambda s, d: source_overlap_matrix(_docs(s, d)),
         _source_overlap_oracle(),
+    ),
+    QueryDef(
+        "dedup_cluster_size_histogram",
+        lambda s, d: cluster_size_histogram(_docs(s, d)),
+        CLUSTER_HISTOGRAM_ORACLE,
+    ),
+    QueryDef(
+        "text_contamination_probe",
+        lambda s, d: contamination_probe(_docs(s, d)),
+        CONTAMINATION_PROBE_ORACLE,
     ),
 ]

@@ -209,7 +209,12 @@ _NEVER_DRIVER_HASHED_R9 = frozenset(
 # tests/test_rotation_coverage.py) never regresses when the surface
 # grows. Empty this set (and re-point it) when a later round adds
 # queries of its own.
-_NEW_IN_ROUND: frozenset[str] = frozenset()
+_NEW_IN_ROUND: frozenset[str] = frozenset(
+    {
+        "dedup_cluster_size_histogram",
+        "text_contamination_probe",
+    }
+)
 
 
 def _rotate(qs: list[QueryDef]) -> list[QueryDef]:

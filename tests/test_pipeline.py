@@ -485,3 +485,56 @@ def test_source_overlap_matrix_null_source_coalesced(spark):
     }
     assert got == {("", "web"): 1}
     spark.catalog.clearCache()
+
+
+def test_cluster_size_histogram_hand_counts(spark):
+    # 3 copies of A (bucket 1: [2,4)), 1 copy of B, 4 copies of C
+    # (bucket 2: [4,8)), 1 copy of D -> bucket 0 has 2 clusters/2 docs,
+    # bucket 1 has 1/3, bucket 2 has 1/4. Bit-length bucketing, not
+    # float log2.
+    from apd_map_reduce_spark.operators.dedup import cluster_size_histogram
+
+    rows = (
+        [(i, "aaa", "w") for i in range(3)]
+        + [(10, "bbb", "w")]
+        + [(20 + i, "ccc", "w") for i in range(4)]
+        + [(30, "ddd", "w")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.bucket: (r.n_clusters, r.n_docs)
+        for r in cluster_size_histogram(docs).collect()
+    }
+    assert got == {0: (2, 2), 1: (1, 3), 2: (1, 4)}
+
+
+def test_contamination_probe_hand_counts(spark):
+    # Benchmark docs are doc_id % 101 == 0 -> ids 0 and 101 here.
+    # doc 0 "a b c d": shingles {abc, bcd}; corpus doc 5 "a b c x"
+    # carries abc -> 1 of 2 contaminated. doc 101 "p q r s": no corpus
+    # doc shares a shingle -> 0 of 2. Benchmark docs never contaminate
+    # each other (corpus side excludes the benchmark set).
+    from apd_map_reduce_spark.operators.dedup import contamination_probe
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "w"), (101, "p q r s", "w"),
+         (5, "a b c x", "w"), (6, "u v w z", "w"), (7, "hi", "w")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+        for r in contamination_probe(docs).collect()
+    }
+    assert got == {0: (2, 1, 0.5), 101: (2, 0, 0.0)}
+
+
+def test_contamination_probe_short_benchmark_doc_emits_no_row(spark):
+    # A benchmark doc with < 3 tokens has no shingles -> no row, the
+    # shingle-family contract (novelty behaves the same way).
+    from apd_map_reduce_spark.operators.dedup import contamination_probe
+
+    docs = spark.createDataFrame(
+        [(0, "hi", "w"), (1, "a b c d", "w")],
+        "doc_id long, text string, source string",
+    )
+    assert contamination_probe(docs).collect() == []
