@@ -1534,6 +1534,102 @@ GROUP BY l_returnflag
 """
 
 
+def sketch_gk_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable GK-sketch error-envelope audit (r10 verdict
+    stretch #8). approx_percentile_prices itself can only get a
+    rows-only external check — sketch internals are engine-specific,
+    so no SQL oracle reproduces its estimates. This companion computes
+    BOTH the sketch and the exact rank bracket (percentile_disc at
+    p ± 0.001, the same 10x-slack bound the selfcheck asserts) in ONE
+    Spark aggregation and emits only engine-portable columns: the
+    group, its exact row count, and a boolean verdict per estimate.
+    The oracle emits the same rows with TRUE — so the driver's value
+    hash passes IFF every sketch estimate lies inside its published
+    error envelope, promoting the bound check from builder-side
+    selfcheck to the external gate.
+
+    Scale shape: identical to the sketch query it audits (one
+    map-side-partial aggregation per group); the exact percentiles add
+    a per-group sort the PRODUCTION sketch path exists to avoid —
+    audits run on samples or test fixtures, the same deployment story
+    as lsh_recall_audit."""
+    l = _t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("am"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.99), F.lit(10000)
+        ).alias("ap"),
+        F.expr(
+            "percentile_disc(0.499) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo_m"),
+        F.expr(
+            "percentile_disc(0.501) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("hi_m"),
+        F.expr(
+            "percentile_disc(0.989) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo_p"),
+        F.expr(
+            "percentile_disc(0.991) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("hi_p"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_lines",
+        ((F.col("am") >= F.col("lo_m")) & (F.col("am") <= F.col("hi_m"))).alias(
+            "median_within_bound"
+        ),
+        ((F.col("ap") >= F.col("lo_p")) & (F.col("ap") <= F.col("hi_p"))).alias(
+            "p99_within_bound"
+        ),
+    )
+
+
+SKETCH_GK_BOUND_AUDIT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       TRUE AS median_within_bound,
+       TRUE AS p99_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def sketch_hll_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable HLL error-envelope audit — the
+    approx_distinct_users companion, same contract as
+    sketch_gk_bound_audit: Spark computes the sketch AND the exact
+    distinct count, emits (group, exact count, in-envelope boolean);
+    the oracle emits TRUE rows, so the external hash enforces the
+    ±5σ (= ±5% at rsd 0.01) bound. floor/ceil brackets mirror
+    APPROX_DISTINCT_BOUNDS so integer rounding never excludes an
+    in-bound estimate."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            (F.col("est") >= F.floor(F.col("exact_users") * 0.95))
+            & (F.col("est") <= F.ceil(F.col("exact_users") * 1.05))
+        ).alias("within_bound"),
+    )
+
+
+SKETCH_HLL_BOUND_AUDIT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISCRETE percentiles per return flag — the oracle-checkable
     twin of approx_percentile_prices. percentile_disc returns an actual
@@ -2892,6 +2988,16 @@ RELATIONAL_QUERIES: list[QueryDef] = [
         bounds=APPROX_PERCENTILE_BOUNDS,
     ),
     QueryDef("percentile_disc_prices", percentile_disc_prices, PERCENTILE_DISC_ORACLE),
+    QueryDef(
+        "sketch_gk_bound_audit",
+        sketch_gk_bound_audit,
+        SKETCH_GK_BOUND_AUDIT_ORACLE,
+    ),
+    QueryDef(
+        "sketch_hll_bound_audit",
+        sketch_hll_bound_audit,
+        SKETCH_HLL_BOUND_AUDIT_ORACLE,
+    ),
     QueryDef("window_top_customers_per_nation", window_top_customers_per_nation, WINDOW_RANK_ORACLE),
     QueryDef("window_running_revenue", window_running_revenue, WINDOW_RUNNING_ORACLE),
     QueryDef("window_event_deltas", window_event_deltas, WINDOW_LAG_ORACLE),

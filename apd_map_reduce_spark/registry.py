@@ -213,6 +213,8 @@ _NEW_IN_ROUND: frozenset[str] = frozenset(
     {
         "dedup_cluster_size_histogram",
         "text_contamination_probe",
+        "sketch_gk_bound_audit",
+        "sketch_hll_bound_audit",
     }
 )
 

@@ -52,10 +52,12 @@ def test_entry_contract(spark):
 
 
 def test_approx_percentile_within_accuracy_of_exact(spark):
-    """The approx sketch (rows-only in the driver) must land within its
-    rank-accuracy bound of the exact discrete percentiles: with
-    accuracy=10000 the GK sketch guarantees rank error <= n/10000; on
-    this data that is well under 1% relative value error."""
+    """The approx sketch (rows-only in the driver; the envelope is
+    ALSO driver-enforced via the sketch_gk_bound_audit companion's
+    hash) must land within its rank-accuracy bound of the exact
+    discrete percentiles: with accuracy=10000 the GK sketch guarantees
+    rank error <= n/10000; on this data that is well under 1% relative
+    value error."""
     from apd_map_reduce_spark.queries.relational import (
         approx_percentile_prices,
         percentile_disc_prices,
@@ -77,10 +79,11 @@ def test_approx_percentile_within_accuracy_of_exact(spark):
 
 
 def test_approx_distinct_within_accuracy_of_exact(spark):
-    """The HLL sketch (rows-only in the driver) must land within its
-    configured accuracy of the exact distinct count: rsd=0.01 means 1%
-    relative standard deviation, so 5% (5 sigma) is a deterministic-in-
-    practice bound per group."""
+    """The HLL sketch (rows-only in the driver; the envelope is ALSO
+    driver-enforced via the sketch_hll_bound_audit companion's hash)
+    must land within its configured accuracy of the exact distinct
+    count: rsd=0.01 means 1% relative standard deviation, so 5%
+    (5 sigma) is a deterministic-in-practice bound per group."""
     import pyspark.sql.functions as F
 
     from apd_map_reduce_spark.queries.relational import approx_distinct_users
