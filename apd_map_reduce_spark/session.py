@@ -36,6 +36,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffles START wide and AQE coalesces them down — the
+        # canonical AQE posture. AQE can split a skewed join but can
+        # NEVER raise a too-small initial partition count, and with
+        # shuffle.partitions pinned to core count every multi-GB
+        # exchange at sf100 (SCALING_r11.json) was stuck at 32
+        # partitions. With the wide initial number, AQE's
+        # `parallelismFirst` coalescing keeps small-SF shuffles at
+        # ~core-count parallelism (sf0.1 plans keep their shape —
+        # oracle sweeps and the partition-invariance property suite
+        # verified unchanged), while genuinely large sf100 exchanges
+        # now run 128-256 balanced tasks (SCALING_r11_after.json).
+        # NOT a spill cure-all: the LSH band self-join's quadratic
+        # candidate tail still spills in its partial-distinct at sf100
+        # (bounded ~2 GB/task) — that cost tracks the N² intermediate,
+        # not partition width; see the SCALING_r11.json adjudication.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, 8 * shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
