@@ -1287,6 +1287,118 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_collision_multiplicity(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    sh: DataFrame | None = None,
+    max_df: int = MAX_SHINGLE_DF,
+    shf: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_bands) — every banded-LSH candidate pair with
+    its band-collision MULTIPLICITY (how many of the `bands` bands the
+    pair collides in). Same screen construction as
+    `lsh_candidate_pairs`; the multiplicity is what `distinct` throws
+    away, and it is the cost observable that matters at scale:
+    sum(n_bands) IS the band self-join's output row count — the
+    shuffle/spill driver the sf100 adjudication measured at 986M rows
+    for b=24,r=3 (LSH_SF100_PLAN_r11.json) — while count(*) is the
+    distinct-candidate count the exact verifier pays per row."""
+    if shf is None:
+        shf = stop_shingle_filter(
+            sh if sh is not None else doc_shingle_hashes(docs), max_df=max_df
+        )
+    band_rel = band_relation(
+        minhash_signatures(docs, sh=shf, n_perm=bands * rows), bands=bands, rows=rows
+    )
+    a = band_rel.alias("a")
+    b = band_rel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_candidate_volume(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ONE row (band_pair_rows, n_candidates) — the LSH screen's cost
+    observables at the given operating point (r11 verdict stretch #8:
+    the hazard gates catch plan STRUCTURE, not the ~N²·P(s_bg)
+    background-collision tail; this query makes candidate volume a
+    hash-gated NUMBER, so an operating-point regression fails an
+    external check, not a round).
+
+    band_pair_rows = band self-join output rows (pre-dedup; the
+    shuffle driver), n_candidates = distinct candidate pairs (the
+    exact-verify driver). Structural invariant, tested in
+    tests/test_lsh_candidate_volume.py: band_pair_rows ≤
+    n_docs·bands·(max_df−1)/2 — every doc sits in `bands` buckets of
+    ≤ max_df docs each (the stop-shingle guard's provable bound), so
+    volume is LINEAR in corpus size with a bands·max_df constant,
+    never the unguarded N².
+
+    Scale shape: the banded join + one ≤-pair-count-sized partial
+    aggregation; the one-row result is the only thing collected."""
+    mult = lsh_collision_multiplicity(docs, bands=bands, rows=rows, max_df=max_df)
+    return mult.agg(
+        F.coalesce(F.sum("n_bands"), F.lit(0)).cast("long").alias("band_pair_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+
+
+def _lsh_candidate_volume_oracle(
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_df: int = MAX_SHINGLE_DF,
+) -> str:
+    """Oracle twin of `lsh_candidate_volume`: the shared minhash CTEs'
+    band relation, self-joined and counted with and without dedup."""
+    return f"""
+WITH {_minhash_ctes(bands=bands, rows=rows, max_df=max_df)},
+colls AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM colls) AS BIGINT) AS band_pair_rows,
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_a, doc_b FROM colls)) AS BIGINT)
+    AS n_candidates
+"""
+
+
+# --- scale operating point ---------------------------------------------------
+# r11 verdict directive #1: at the third decade the DEFAULT point's
+# (b=24, r=3) binding cost is the banded join's ~N²·P(s_bg) background
+# tail (92.4M candidates / 986M band rows at sf100,
+# LSH_SF100_PLAN_r11.json). Raising r to 4 multiplies the per-band
+# background rate by s_bg (each chance collision must match one more
+# minhash) while b=54 keeps the S-curve recall contract at the
+# near-dup threshold: P(0.5) = 1-(1-0.5^4)^54 ≈ 0.969 ≥ the 0.9 bar
+# (vs 0.959 for the default). The price is signature width k = 216
+# vs 72 — ~3× the per-shingle min-aggregation work — which DOMINATES
+# at small SF where the background tail is invisible
+# (LSH_TUNING_r11.json: k=96 was already +36% wall over k=72 at
+# sf0.1). Hence TWO pinned points rather than one compromised one:
+# the default stays the small-corpus optimum; this is the
+# measured-at-scale point (LSH_SCALE_SWEEP_r12.json) for corpora
+# where candidate volume, not signature width, is the binding cost.
+LSH_SCALE_BANDS = 54
+LSH_SCALE_ROWS = 4
+
+
 def lsh_screened_jaccard_pairs(
     docs: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -2341,6 +2453,26 @@ DEDUP_QUERIES = [
         "dedup_lsh_screened_jaccard",
         lambda s, d: lsh_screened_jaccard_pairs(_docs(s, d)),
         _lsh_screened_jaccard_oracle(),
+    ),
+    # The screen's cost observables as a hash-gated number (see
+    # lsh_candidate_volume): candidate-volume regressions fail the
+    # external gate, not a scale round.
+    QueryDef(
+        "dedup_lsh_candidate_volume",
+        lambda s, d: lsh_candidate_volume(_docs(s, d)),
+        _lsh_candidate_volume_oracle(),
+    ),
+    # The measured-at-scale operating point (r=4 kills the
+    # ~N²·P(s_bg) background-collision tail; see the LSH_SCALE_BANDS
+    # comment block + LSH_SCALE_SWEEP_r12.json) as a first-class,
+    # externally hashed query — same semantics contract as
+    # dedup_minhash_lsh, sharper S-curve.
+    QueryDef(
+        "dedup_minhash_lsh_scaled",
+        lambda s, d: minhash_lsh_pairs(
+            _docs(s, d), bands=LSH_SCALE_BANDS, rows=LSH_SCALE_ROWS
+        ),
+        _minhash_oracle(bands=LSH_SCALE_BANDS, rows=LSH_SCALE_ROWS),
     ),
     QueryDef(
         "simhash_signatures",

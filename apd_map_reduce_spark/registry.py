@@ -165,7 +165,7 @@ def _interleave(families: list[list[QueryDef]]) -> list[QueryDef]:
 # the whole registry, not the same 50-query prefix forever (r6 verdict
 # directive #2). ROUND is committed once per round; the flagship stays
 # pinned at entry 0 (the `entry()` / bench flagship contract).
-ROUND = 11
+ROUND = 12
 _GATE_WINDOW = 49  # driver window (50) minus the pinned flagship
 
 # Round 9 closes the cumulative-gate story (r8 verdict directive #1):
@@ -211,10 +211,8 @@ _NEVER_DRIVER_HASHED_R9 = frozenset(
 # queries of its own.
 _NEW_IN_ROUND: frozenset[str] = frozenset(
     {
-        "dedup_cluster_size_histogram",
-        "text_contamination_probe",
-        "sketch_gk_bound_audit",
-        "sketch_hll_bound_audit",
+        "dedup_lsh_candidate_volume",
+        "dedup_minhash_lsh_scaled",
     }
 )
 
