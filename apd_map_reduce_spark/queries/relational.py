@@ -425,7 +425,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the selfcheck asserts the BOUNDED-ERROR oracle below: rsd=0.01
     configures a 1% relative standard deviation (HyperLogLog++, Heule
     et al. 2013), so +/-5% (5 sigma) is a deterministic-in-practice
-    per-group bound around DuckDB's exact distinct count."""
+    per-group bound around DuckDB's exact distinct count.
+
+    EXPECTED DRIVER ROW: `err: no_oracle` whenever this rotates into
+    the external gate window — correct for a sketch, not a gap (no
+    engine-portable SQL reproduces HLL register state). The envelope
+    is externally enforced by the driver-hashed companion
+    `sketch_hll_bound_audit` (sketch + exact bracket in one pass,
+    oracle emits TRUE rows), and the bounded selfcheck covers every
+    non-window round."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -1512,7 +1520,17 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees rank error <= n/10000, so each estimate must lie inside
     the exact-value bracket at ranks p +/- 0.001 (10x the published
     bound — slack for per-group n rounding, still value-tight because
-    prices are dense). Exact twin = percentile_disc_prices."""
+    prices are dense). Exact twin = percentile_disc_prices.
+
+    EXPECTED DRIVER ROW: `err: no_oracle` whenever this rotates into
+    the external gate window — that is the CORRECT record for a
+    sketch, not a gap: no engine-portable SQL reproduces GK merge
+    state, so any value hash would be a lie. The error ENVELOPE is
+    externally enforced instead by the driver-hashed companion
+    `sketch_gk_bound_audit` (same groups, sketch + exact bracket in
+    one pass, oracle emits TRUE rows — its hash fails iff any
+    estimate leaves the published bound), and the bounded selfcheck
+    above covers every non-window round."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
@@ -1605,7 +1623,25 @@ def sketch_hll_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle emits TRUE rows, so the external hash enforces the
     ±5σ (= ±5% at rsd 0.01) bound. floor/ceil brackets mirror
     APPROX_DISTINCT_BOUNDS so integer rounding never excludes an
-    in-bound estimate."""
+    in-bound estimate.
+
+    TRIAGE (gate-failure path): HLL is deterministic per dataset, so a
+    NEW fixture whose estimate legitimately lands outside ±5σ (a
+    ~1-in-1.7M event per group under the Gaussian tail model, but not
+    impossible) would fail this gate permanently while looking like a
+    correctness bug. If this audit ever hash-mismatches: (1) re-run
+    this builder ad hoc with est + exact selected as DATA (drop the
+    boolean) to read the signed relative error per group — or use the
+    `approx_distinct_users` bounded selfcheck, whose bounds oracle
+    (APPROX_DISTINCT_BOUNDS) emits the bracket as data. The error
+    column is deliberately NOT emitted in the gated output because
+    the oracle cannot reproduce sketch internals, so any est-derived
+    value in the output would break hashability; (2) if the error is
+    a legitimate tail case on a new fixture, widen THIS audit's
+    envelope (0.95/1.05 constants below) to ±6σ and record the fixture
+    + observed error in the commit message — do NOT exclude the
+    fixture silently. The production sketch (`approx_distinct_users`)
+    is unaffected either way; only the audit envelope moves."""
     e = _t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),

@@ -26,8 +26,21 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    aqe_wide_start: bool | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the session with the engine's standard config."""
+    """Build (or fetch) the session with the engine's standard config.
+
+    ``aqe_wide_start=False`` opts out of the wide AQE
+    ``initialPartitionNum`` (r11 ADVICE): callers that pin
+    ``shuffle_partitions`` for plan-SHAPE assertions, or that disable
+    AQE via ``extra_conf`` (leaving no coalescer to shrink a 256-wide
+    start), get exactly the partition count they asked for. Correctness
+    is unaffected either way (partition-invariance suite). Default
+    resolves from SPARK_GRAFT_AQE_WIDE_START (unset/1 = wide) so
+    same-tree interleaved A/Bs can toggle the config per subprocess
+    without a code edit."""
+    if aqe_wide_start is None:
+        aqe_wide_start = os.environ.get("SPARK_GRAFT_AQE_WIDE_START", "1") != "0"
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
     builder = (
@@ -53,7 +66,9 @@ def get_spark(
         # not partition width; see the SCALING_r11.json adjudication.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(256, 8 * shuffle_partitions)),
+            str(max(256, 8 * shuffle_partitions))
+            if aqe_wide_start
+            else str(shuffle_partitions),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -148,11 +148,11 @@ def main() -> int:
         release_caches(spark)
         secs = []
         for _ in range(passes):
-            t0 = time.time()
+            t0 = time.monotonic()
             minhash_lsh_pairs(docs, bands=b, rows=r).write.format(
                 "noop"
             ).mode("overwrite").save()
-            secs.append(round(time.time() - t0, 3))
+            secs.append(round(time.monotonic() - t0, 3))
             release_caches(spark)
         results["grid"][key]["wall_all"] = secs
         results["grid"][key]["wall_min"] = min(secs)
