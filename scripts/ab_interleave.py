@@ -59,9 +59,9 @@ for name in names:
         out[name] = None  # not in this ref's registry
         continue
     def run_once():
-        t0 = time.time()
+        t0 = time.monotonic()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+        dt = time.monotonic() - t0
         spark.catalog.clearCache()
         return round(dt, 3)
     run_once()  # warm (untimed)
@@ -77,8 +77,15 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def _child(tree: Path, sf_dir: str, timed_runs: int, names: list[str]) -> dict:
+def _child(
+    tree: Path,
+    sf_dir: str,
+    timed_runs: int,
+    names: list[str],
+    env_extra: dict[str, str] | None = None,
+) -> dict:
     env = dict(os.environ)
+    env.update(env_extra or {})
     # Per-variant scratch cwd: Spark's cwd-relative droppings
     # (spark-warehouse, derby.log, metastore_db) land in /tmp, not in
     # the live working tree (ADVICE r10). sys.path is pinned to `tree`
@@ -104,7 +111,18 @@ def _child(tree: Path, sf_dir: str, timed_runs: int, names: list[str]) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--ref", required=True, help="git ref of the OLD variant")
+    ap.add_argument("--ref", default=None, help="git ref of the OLD variant")
+    ap.add_argument(
+        "--env-old",
+        action="append",
+        default=[],
+        metavar="KEY=VAL",
+        help="SAME-TREE config A/B: the 'old' variant is the CURRENT "
+        "tree run with these env overrides (repeatable) instead of a "
+        "git ref — the sharpest causal test for an env-gated config "
+        "(e.g. SPARK_GRAFT_AQE_WIDE_START=0). Mutually exclusive "
+        "with --ref.",
+    )
     ap.add_argument("--queries", required=True,
                     help="comma-separated registry query names")
     ap.add_argument("--passes", type=int, default=5,
@@ -117,21 +135,31 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="write JSON here too")
     args = ap.parse_args()
     names = args.queries.split(",")
+    if bool(args.ref) == bool(args.env_old):
+        ap.error("exactly one of --ref / --env-old is required")
+    env_old = dict(kv.split("=", 1) for kv in args.env_old)
 
-    old_sha = _git("rev-parse", "--short", args.ref)
     head_sha = _git("rev-parse", "--short", "HEAD")
     dirty = bool(_git("status", "--porcelain",
                       "--", "apd_map_reduce_spark", "__spark_entry__.py"))
 
-    wt = Path(f"/tmp/ab_interleave_wt_{os.getpid()}")
-    _git("worktree", "add", "--detach", str(wt), args.ref)
+    wt = None
+    if args.ref:
+        old_sha = _git("rev-parse", "--short", args.ref)
+        old_label = f"{args.ref} ({old_sha})"
+        wt = Path(f"/tmp/ab_interleave_wt_{os.getpid()}")
+        _git("worktree", "add", "--detach", str(wt), args.ref)
+    else:
+        old_sha = head_sha
+        old_label = f"working tree @ {head_sha} with env {env_old}"
     try:
         samples: dict[str, dict[str, list[float]]] = {
             n: {"old": [], "new": []} for n in names
         }
         for p in range(args.passes):
-            for label, tree in (("old", wt), ("new", REPO)):
-                got = _child(tree, args.sf_dir, args.timed_runs, names)
+            for label, tree in (("old", wt or REPO), ("new", REPO)):
+                got = _child(tree, args.sf_dir, args.timed_runs, names,
+                             env_extra=env_old if label == "old" else None)
                 for n in names:
                     if got.get(n) is None:
                         raise RuntimeError(
@@ -155,7 +183,7 @@ def main() -> None:
                              "cache cleared between, noop sink, min scoring",
                 "passes": args.passes,
                 "sf_dir": args.sf_dir,
-                "old_ref": f"{args.ref} ({old_sha})",
+                "old_ref": old_label,
                 "new": f"working tree @ {head_sha}"
                        + (" (dirty)" if dirty else ""),
             },
@@ -174,8 +202,9 @@ def main() -> None:
             Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
             print(f"wrote {args.out}", file=sys.stderr)
     finally:
-        _git("worktree", "remove", "--force", str(wt))
-        shutil.rmtree(wt, ignore_errors=True)
+        if wt is not None:
+            _git("worktree", "remove", "--force", str(wt))
+            shutil.rmtree(wt, ignore_errors=True)
 
 
 if __name__ == "__main__":
