@@ -695,6 +695,20 @@ def minhash_lsh_pairs(
     `threshold` meets your target; the defaults give ≥0.96 at the
     default threshold 0.5.
 
+    OPERATING POINT (pinned by three-decade measurement,
+    LSH_SCALE_SWEEP_r12.json): the default b=24, r=3 is the best
+    contract-meeting point at sf1, sf10 AND sf100 — sharper-tail r=4
+    points cut sf100 candidates only −8% while doubling band rows and
+    paying +37% wall (see the LSH_SCALE_BANDS block below). The
+    screen's candidate volume DOES grow superlinearly on sqrt-Heaps
+    corpora (92.8M candidates at 5M docs): that term is
+    near-threshold mid-similarity pair mass, which every ≥0.9-recall
+    banded screen at this threshold/measure must surface — the
+    mitigations are a stricter measure (5-gram shingles: 92× fewer
+    candidates, but a stricter near-dup definition —
+    LSH_K5_PROBE_r12.json) or a higher threshold, both caller-level
+    contract changes, not defaults.
+
     The guard is load-bearing at scale, twice over:
 
     * **Provable band-bucket bound.** Every doc in a band bucket
@@ -1379,22 +1393,38 @@ SELECT
 """
 
 
-# --- scale operating point ---------------------------------------------------
-# r11 verdict directive #1: at the third decade the DEFAULT point's
-# (b=24, r=3) binding cost is the banded join's ~N²·P(s_bg) background
-# tail (92.4M candidates / 986M band rows at sf100,
-# LSH_SF100_PLAN_r11.json). Raising r to 4 multiplies the per-band
-# background rate by s_bg (each chance collision must match one more
-# minhash) while b=54 keeps the S-curve recall contract at the
-# near-dup threshold: P(0.5) = 1-(1-0.5^4)^54 ≈ 0.969 ≥ the 0.9 bar
-# (vs 0.959 for the default). The price is signature width k = 216
-# vs 72 — ~3× the per-shingle min-aggregation work — which DOMINATES
-# at small SF where the background tail is invisible
-# (LSH_TUNING_r11.json: k=96 was already +36% wall over k=72 at
-# sf0.1). Hence TWO pinned points rather than one compromised one:
-# the default stays the small-corpus optimum; this is the
-# measured-at-scale point (LSH_SCALE_SWEEP_r12.json) for corpora
-# where candidate volume, not signature width, is the binding cost.
+# --- sharp-tail operating point (measured verdict: default wins) -------------
+# r11 verdict directive #1 asked whether r=4 (b=54 keeps P(0.5) =
+# 1-(1-0.5^4)^54 ≈ 0.969 ≥ the 0.9 recall contract) kills the
+# third-decade candidate blowup the r11 probe attributed to the
+# banded join's ~N²·P(s_bg) background tail. MEASURED ANSWER
+# (LSH_SCALE_SWEEP_r12.json, three decades, full-corpus candidate
+# volumes + slice-audited recall + wall): **NO — the default b24r3
+# wins at every measured decade on the realistic Heaps fixture.** At
+# sf100 (5M docs) b54r4 cuts candidates only 92.8M → 85.0M (−8%)
+# while DOUBLING band-join output rows (990M → 2,053M; every doc
+# carries 54 bands instead of 24), costing +37% wall (330 → 452 s)
+# and −3 recall points (0.955 → 0.923). Root cause REFINED from r11:
+# the dominant candidate mass is NOT low-similarity background
+# (where r=4's s^4-vs-s^3 per-band rate would cut ~s_bg× ≈ 20×) but
+# NEAR-THRESHOLD MID-SIMILARITY pairs (3-gram Jaccard 0.2–0.45) that
+# the sqrt-Heaps vocabulary makes ~N²-many — and any screen honoring
+# the ≥0.9 recall contract at threshold 0.5 must keep non-trivial
+# collision probability there (S-curve monotonicity). The lever that
+# actually moves volume at scale is the MEASURE, not the banding:
+# 5-gram shingles cut sf10 candidates 92× (7.80M → 85.0k,
+# LSH_K5_PROBE_r12.json) — but 5-gram Jaccard is a STRICTER near-dup
+# definition (slice truth 4,006 → 59 pairs), so that is a contract
+# change the caller must opt into, not a default.
+#
+# This point is therefore pinned NOT as "the scale default" but as
+# the sharp-S-curve variant for corpora whose candidate cost is
+# genuinely background-dominated (real web corpora with near-zero
+# background similarity — the regime the synthetic fixture
+# under-represents): on the background-dominated gate fixture
+# (tests/test_lsh_candidate_volume.py) it cuts candidates 2×
+# (268 → 131). Small-SF cost of its k=216 signature:
+# LSH_TUNING_r11.json (k=96 was already +36% over k=72 at sf0.1).
 LSH_SCALE_BANDS = 54
 LSH_SCALE_ROWS = 4
 
@@ -2462,11 +2492,13 @@ DEDUP_QUERIES = [
         lambda s, d: lsh_candidate_volume(_docs(s, d)),
         _lsh_candidate_volume_oracle(),
     ),
-    # The measured-at-scale operating point (r=4 kills the
-    # ~N²·P(s_bg) background-collision tail; see the LSH_SCALE_BANDS
-    # comment block + LSH_SCALE_SWEEP_r12.json) as a first-class,
-    # externally hashed query — same semantics contract as
-    # dedup_minhash_lsh, sharper S-curve.
+    # The sharp-S-curve (r=4) variant as a first-class, externally
+    # hashed query — same semantics contract as dedup_minhash_lsh.
+    # Measured verdict (LSH_SCALE_BANDS comment block +
+    # LSH_SCALE_SWEEP_r12.json): the DEFAULT wins at every tested
+    # decade on the Heaps fixture; this point is for
+    # background-collision-dominated corpora, where it cuts candidate
+    # volume 2× (gate-fixture measurement).
     QueryDef(
         "dedup_minhash_lsh_scaled",
         lambda s, d: minhash_lsh_pairs(

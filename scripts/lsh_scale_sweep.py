@@ -61,6 +61,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from apd_map_reduce_spark.operators.dedup import (  # noqa: E402
     LSH_BANDS,
     LSH_ROWS,
+    NEARDUP_THRESHOLD,
     doc_shingle_hashes,
     lsh_collision_multiplicity,
     lsh_collision_probability,
@@ -154,9 +155,12 @@ def main() -> int:
         if mode == "full":
             truth_path = str(tmp / f"truth_{sf_name}.parquet")
             t0 = time.monotonic()
-            ngram_jaccard_pairs(docs, sh=sh).select("doc_a", "doc_b").write.mode(
-                "overwrite"
-            ).parquet(truth_path)
+            # threshold EXPLICIT: ngram_jaccard_pairs defaults to the
+            # reporting threshold 0.2, not the near-dup 0.5 the LSH
+            # S-curve is sized for — the audit's truth is the 0.5 set.
+            ngram_jaccard_pairs(docs, threshold=NEARDUP_THRESHOLD, sh=sh).select(
+                "doc_a", "doc_b"
+            ).write.mode("overwrite").parquet(truth_path)
             truth = spark.read.parquet(truth_path)
             n_true = truth.count()
             entry["n_true_pairs"] = n_true
