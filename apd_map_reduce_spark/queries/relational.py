@@ -89,7 +89,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("revenue"))
         .select(
@@ -134,10 +134,23 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     l = _t(spark, sf_dir, "lineitem")
+    # customer is deliberately NOT broadcast-hinted (here and in
+    # q3/q10/q7): it GROWS with the facts, so a hint that is right at
+    # sf0.1 (15k rows) force-broadcasts 15M rows at sf100 — measured
+    # 28.5x/decade growth vs ~9x for the hint-free plan
+    # (SCALING_r12_relational.json q5 cells). Stats-based planning
+    # auto-broadcasts it while it is genuinely small and switches to a
+    # shuffled join when it is not; hints stay on the TRUE dims
+    # (region/nation/supplier/part), which are constant-size at every
+    # decade. The intermediate decade (sf10, ~50 MB customer) lands
+    # just above the default 10 MB threshold and takes the shuffled
+    # path — a cluster deployment sizes
+    # spark.sql.autoBroadcastJoinThreshold to its executor memory to
+    # move that boundary; the decision stays data-driven either way.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -198,7 +211,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(money(F.sum(dec2("l_extendedprice") * dec6(F.lit(1.0) - F.col("l_discount")))).alias("revenue"))
@@ -1129,7 +1142,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(pair)
