@@ -60,3 +60,47 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def spread_by(df: DataFrame, cols: list[str], target: int | None = None) -> DataFrame:
+    """Keyed twin of `spread` for CPU-bound PARTIAL AGGREGATION
+    downstream of a low-split scan: hash-repartition on a deterministic
+    synthetic key IFF the plan currently has fewer partitions than the
+    cluster's default parallelism.
+
+    Map-side (partial) aggregation parallelism is bounded by scan
+    splits, and a parquet row group is the minimum split unit — a
+    single-row-group file runs the whole partial agg in ONE task no
+    matter how wide `maxPartitionBytes` allows the split to be. That is
+    the same serialization trap `spread` fixes for tokenize/shingle
+    stages, hitting aggregate-heavy scans instead (measured at sf0.1,
+    min/median-of-7 interleaved, noop sink: q1's 4-way decimal partial
+    agg 1.374/1.564 s serialized vs 0.979/1.195 s spread;
+    snapshot_table_checksum's per-row md5 1.565/1.943 s vs
+    0.595/0.711 s).
+
+    Differences from `spread`, both deliberate:
+
+    * **Hash, not round-robin.** Every keyless `repartition(n)` first
+      pays a local sort of its input (sortBeforeRepartition, on by
+      default since SPARK-23207, so retried tasks reproduce their
+      row-to-partition assignment) — measured on q1 that sort erased
+      most of the win (1.108 min but 1.483 median). Hash partitioning
+      needs no such sort: the assignment is a pure row function.
+    * **The key derives from `cols`**, deterministically, via
+      xxhash64 — NOT from rand() (rows could duplicate or vanish on
+      fetch-failure re-runs, SPARK-38388) and NOT from an otherwise
+      unused physical column (which would widen the scan's ReadSchema
+      and defeat column pruning; the plan-quality gates pin pruned
+      schemas). Pass the columns the downstream aggregation already
+      reads; duplicate rows hashing to the same partition is fine for
+      aggregation inputs.
+
+    At 100 TB the scan already yields ≥ cores splits and the guard
+    skips the exchange entirely — safe to leave in production plans,
+    exactly like `spread`."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.xxhash64(*cols))
+    return df

@@ -24,6 +24,7 @@ from apd_map_reduce_spark.queries.base import (
     money,
     two_phase_rank,
 )
+from apd_map_reduce_spark.plans.layout import spread_by
 from apd_map_reduce_spark.sources.tables import load_table
 
 
@@ -35,14 +36,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Scale: single scan + partial/final hash agg on a 6-value key; the
 # shipdate filter pushes to the parquet scan. No join, no skew.
 
+_Q1_COLS = [
+    "l_returnflag", "l_linestatus", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax",
+]
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     # Two separate exact decimal factors — casting the double PRODUCT
     # (1-d)*(1+t) to decimal rounds differently across engines.
     disc_factor = dec6(F.lit(1.0) - F.col("l_discount"))
     tax_factor = dec6(F.lit(1.0) + F.col("l_tax"))
+    # spread_by: the 4-way decimal partial agg is the CPU stage and its
+    # parallelism is bounded by scan splits — on a low-split input it
+    # serializes into one task (plans/layout.py; measured −25%
+    # min-of-7 at sf0.1). No-op when the scan has ≥ cores splits.
+    filtered = spread_by(
+        l.filter(
+            F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp")
+        ).select(*_Q1_COLS),
+        _Q1_COLS,
+    )
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        filtered
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             as_double(F.sum(dec2("l_quantity"))).alias("sum_qty"),

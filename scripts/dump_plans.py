@@ -1,0 +1,53 @@
+"""Dump `.explain("formatted")` for every headline query.
+
+Usage: python scripts/dump_plans.py OUTDIR SUFFIX [REPO_ROOT]
+
+Writes OUTDIR/<query>_<SUFFIX>.txt for each bench headline query —
+the optimization-round evidence files (plans/r12/): a judge who cannot
+run Spark reads these to verify plan-shape claims (Exchange count,
+join strategy, PushedFilters/ReadSchema, no BatchEvalPython).
+
+REPO_ROOT (optional) lets the same script run against a checked-out
+historical tree (git worktree) to produce the _before files; the
+registry/session are imported from there.
+
+Caches: builders mark shared intermediates with .cache() (see
+session.release_caches docstring); `clearCache()` runs between queries
+so each explain shows the query's own plan, with InMemoryRelation
+nodes exactly where the production query has them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+from pathlib import Path
+
+
+def main() -> None:
+    outdir = Path(sys.argv[1])
+    suffix = sys.argv[2]
+    root = sys.argv[3] if len(sys.argv) > 3 else str(Path(__file__).resolve().parents[1])
+    sys.path.insert(0, root)
+
+    from apd_map_reduce_spark.registry import headline_queries  # noqa: E402
+    from apd_map_reduce_spark.session import get_spark  # noqa: E402
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    outdir.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(app_name=f"dump-plans-{suffix}")
+    spark.sparkContext.setLogLevel("ERROR")
+    for q in headline_queries():
+        df = q.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        (outdir / f"{q.name}_{suffix}.txt").write_text(buf.getvalue())
+        spark.catalog.clearCache()
+        print(f"wrote {q.name}_{suffix}.txt", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
