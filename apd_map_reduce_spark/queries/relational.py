@@ -159,9 +159,12 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto-broadcasts it while it is genuinely small and switches to a
     # shuffled join when it is not; hints stay on the TRUE dims
     # (region/nation/supplier/part), which are constant-size at every
-    # decade. The intermediate decade (sf10, ~50 MB customer) lands
-    # just above the default 10 MB threshold and takes the shuffled
-    # path — a cluster deployment sizes
+    # decade. Where the boundary falls is the estimator's call: at
+    # sf10 (13.6 MB customer file) the column-pruned estimate is still
+    # under the default 10 MB threshold and the plan keeps the
+    # broadcast (plans/r12/q5_supplier_volume_sf10_after.txt); at
+    # sf100 (136 MB) it switches to the shuffled join
+    # (plans/r12/*_sf100_*.txt). A cluster deployment sizes
     # spark.sql.autoBroadcastJoinThreshold to its executor memory to
     # move that boundary; the decision stays data-driven either way.
     return (

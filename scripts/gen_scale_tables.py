@@ -190,6 +190,21 @@ def gen_embeddings(
 REL_MULT = 10  # default: sf1-scale facts (10x the sf0.1 base)
 
 
+# Copies per COPY statement for the replicated tables. DuckDB's COPY
+# preserves insertion order by default and buffers the WHOLE ordered
+# result before writing — at --rel-mult 1000 the lineitem COPY
+# (600M rows) reached >100 GB RSS on a 128 GiB box (observed this
+# round; the kernel would have OOM-killed it before a byte landed).
+# Chunking the copy range bounds peak memory at CHUNK_COPIES × base
+# rows per statement while staying fully deterministic (fixed batch
+# boundaries, insertion order preserved within each part). A table
+# needing >1 chunk is written as a DIRECTORY `t.parquet/part-NNNN
+# .parquet` — the multi-file shape a corpus at that scale ships anyway
+# (spread-layout posture); both Spark and DuckDB read it through the
+# same path as the single-file form.
+CHUNK_COPIES = 100
+
+
 def gen_relational(sf01_dir: str, out: Path, mult: int = REL_MULT) -> dict[str, int]:
     """Key-shifted replication of the fact tables + customer; true
     dims copied verbatim. See module docstring for the growth model."""
@@ -204,33 +219,55 @@ def gen_relational(sf01_dir: str, out: Path, mult: int = REL_MULT) -> dict[str, 
         "       (SELECT MAX(c_custkey) + 1 FROM customer0),"
         "       (SELECT MAX(event_id) + 1 FROM events0)"
     ).fetchone()
-    con.execute(
-        f"CREATE TABLE copies AS SELECT unnest(generate_series(0, {mult - 1})) AS c"
-    )
+
+    def copies_rel(lo: int, hi: int) -> str:
+        return f"(SELECT unnest(generate_series({lo}, {hi})) AS c) copies"
+
     grown = {
-        "orders": f"""
-            SELECT o_orderkey + c * {ok_span} AS o_orderkey,
-                   o_custkey + c * {ck_span} AS o_custkey,
+        "orders": """
+            SELECT o_orderkey + c * {ok} AS o_orderkey,
+                   o_custkey + c * {ck} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-            FROM orders0 CROSS JOIN copies""",
-        "lineitem": f"""
-            SELECT l_orderkey + c * {ok_span} AS l_orderkey,
+            FROM orders0 CROSS JOIN {copies}""",
+        "lineitem": """
+            SELECT l_orderkey + c * {ok} AS l_orderkey,
                    * EXCLUDE (l_orderkey, c)
-            FROM lineitem0 CROSS JOIN copies""",
-        "customer": f"""
-            SELECT c_custkey + c * {ck_span} AS c_custkey,
+            FROM lineitem0 CROSS JOIN {copies}""",
+        "customer": """
+            SELECT c_custkey + c * {ck} AS c_custkey,
                    * EXCLUDE (c_custkey, c)
-            FROM customer0 CROSS JOIN copies""",
-        "events": f"""
-            SELECT event_id + c * {ev_span} AS event_id, ts,
-                   user_id + c * {ck_span} AS user_id,
+            FROM customer0 CROSS JOIN {copies}""",
+        "events": """
+            SELECT event_id + c * {ev} AS event_id, ts,
+                   user_id + c * {ck} AS user_id,
                    event_type, value, props
-            FROM events0 CROSS JOIN copies""",
+            FROM events0 CROSS JOIN {copies}""",
     }
     counts = {}
-    for t, sql in grown.items():
-        con.execute(f"COPY ({sql}) TO '{out / (t + '.parquet')}' (FORMAT PARQUET)")
-        counts[t] = con.execute(f"SELECT COUNT(*) FROM '{out / (t + '.parquet')}'").fetchone()[0]
+    for t, tpl in grown.items():
+        dest = out / (t + ".parquet")
+        if mult <= CHUNK_COPIES:
+            sql = tpl.format(
+                ok=ok_span, ck=ck_span, ev=ev_span,
+                copies=copies_rel(0, mult - 1),
+            )
+            con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET)")
+        else:
+            if dest.exists() and dest.is_file():
+                dest.unlink()
+            dest.mkdir(parents=True, exist_ok=True)
+            for i, lo in enumerate(range(0, mult, CHUNK_COPIES)):
+                hi = min(lo + CHUNK_COPIES, mult) - 1
+                sql = tpl.format(
+                    ok=ok_span, ck=ck_span, ev=ev_span,
+                    copies=copies_rel(lo, hi),
+                )
+                con.execute(
+                    f"COPY ({sql}) TO '{dest / f'part-{i:04d}.parquet'}'"
+                    " (FORMAT PARQUET)"
+                )
+        glob = f"{dest}/*.parquet" if dest.is_dir() else str(dest)
+        counts[t] = con.execute(f"SELECT COUNT(*) FROM '{glob}'").fetchone()[0]
     for t in ("region", "nation", "supplier", "part"):
         con.execute(
             f"COPY (SELECT * FROM {t}0) TO '{out / (t + '.parquet')}' (FORMAT PARQUET)"
@@ -266,12 +303,18 @@ def main() -> int:
     row_groups = ROW_GROUPS if layout == "spread" else 1
     skip_rel = "--no-rel" in args
     args = [a for a in args if a != "--no-rel"]
+    # --no-docs: relational-only fixture (e.g. plan-shape probes of the
+    # star-schema queries at a decade whose 5M-doc corpus generation
+    # would dominate the wall). Skips documents AND embeddings; rng
+    # draw order for them is irrelevant since neither is written.
+    skip_docs = "--no-docs" in args
+    args = [a for a in args if a != "--no-docs"]
     out = Path(args[0]) if args else DEFAULT_OUT
     sf01 = args[1] if len(args) > 1 else DEFAULT_SF01
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED if (doc_mult, emb_mult) == (DOC_MULT, EMB_MULT) else SEED + 1)
-    nd = gen_documents(rng, sf01, out, mult=doc_mult, row_groups=row_groups)
-    ne = gen_embeddings(rng, out, mult=emb_mult, row_groups=row_groups)
+    nd = 0 if skip_docs else gen_documents(rng, sf01, out, mult=doc_mult, row_groups=row_groups)
+    ne = 0 if skip_docs else gen_embeddings(rng, out, mult=emb_mult, row_groups=row_groups)
     rel = {} if skip_rel else gen_relational(sf01, out, mult=rel_mult)
     (out / "FIXTURE_VERSION").write_text(
         f"{FIXTURE_VERSION}\nlayout={layout} row_groups={row_groups}\n"
