@@ -153,7 +153,12 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # A table may be a single file OR a part-file directory (the
+        # chunked scale fixtures, gen_scale_tables.py CHUNK_COPIES);
+        # Spark reads both through the same path, DuckDB needs a glob.
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     n_fail = 0
     records: list[dict] = []
