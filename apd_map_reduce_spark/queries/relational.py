@@ -224,10 +224,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 # --- q10: returned-item losers (join + group + top-k) ---------------------
 
+_Q10_L_COLS = ["l_orderkey", "l_extendedprice", "l_discount"]
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # spread_by (plans/layout.py): at small SFs every dim auto-
+    # broadcasts, so scan → 3 hash probes → partial agg would plan as
+    # ONE stage whose parallelism is the scan's split count — a
+    # low-split input serializes ~150k probe+agg rows into one task
+    # (measured −15% min / −18% median at sf0.1). No-op once the scan
+    # splits ≥ cores; at sf100 l⋈o is a shuffled join anyway. The same
+    # rewrite MEASURED NEGATIVE on q3 (+28%) and q5 (+39%), whose
+    # per-row probe work is too cheap relative to the exchange — those
+    # keep the unspread shape.
+    l = spread_by(
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(*_Q10_L_COLS),
+        _Q10_L_COLS,
+    )
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
