@@ -165,7 +165,7 @@ def _interleave(families: list[list[QueryDef]]) -> list[QueryDef]:
 # the whole registry, not the same 50-query prefix forever (r6 verdict
 # directive #2). ROUND is committed once per round; the flagship stays
 # pinned at entry 0 (the `entry()` / bench flagship contract).
-ROUND = 12
+ROUND = 13
 _GATE_WINDOW = 49  # driver window (50) minus the pinned flagship
 
 # Round 9 closes the cumulative-gate story (r8 verdict directive #1):
@@ -209,12 +209,7 @@ _NEVER_DRIVER_HASHED_R9 = frozenset(
 # tests/test_rotation_coverage.py) never regresses when the surface
 # grows. Empty this set (and re-point it) when a later round adds
 # queries of its own.
-_NEW_IN_ROUND: frozenset[str] = frozenset(
-    {
-        "dedup_lsh_candidate_volume",
-        "dedup_minhash_lsh_scaled",
-    }
-)
+_NEW_IN_ROUND: frozenset[str] = frozenset()
 
 
 def _rotate(qs: list[QueryDef]) -> list[QueryDef]:
