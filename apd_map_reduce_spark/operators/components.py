@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -36,56 +37,81 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     so convergence is detected by an unchanged SUM(label) (one cheap
     one-row agg per round, no join). Raises RuntimeError if `max_iter`
     rounds pass without a fixpoint — silently returning partial labels
-    would hand callers wrong transitive groups with no signal."""
-    # localCheckpoint truncates lineage: the pair graph usually arrives
-    # with a deep upstream plan (e.g. the whole MinHash pipeline), and
-    # every iteration would otherwise re-embed that tree — twice per
-    # round via the self-join — making Catalyst analysis cost grow
-    # geometrically with the round number even when every byte is
-    # cached. Materializing edges/labels as plan roots keeps each
-    # round's plan O(1)-sized (the GraphFrames/GraphX iteration idiom).
+    would hand callers wrong transitive groups with no signal.
+
+    Driver-loop cost posture (r13, measured at sf0.01 AND sf1):
+      * The doubled edge list is built by ONE explode over the pair
+        relation, not `pairs.select ∪ pairs.select` — the union form
+        re-evaluates the entire upstream pair pipeline (exact-dup +
+        MinHash LSH when called from `dup_groups`) once per branch,
+        because cross-branch exchange reuse cannot unify the two
+        differently-projected subtrees.
+      * SELF-LOOPS (v,v) ride along in the same explode: with every
+        node guaranteed one incident edge to itself, min-over-neighbors
+        already includes the node's own label, so the hop needs no
+        merge join back onto `labels`, and the pointer jump's lookup
+        always finds its target — both per-round left joins (and their
+        coalesce) drop out. One join + one agg + one self-join per
+        round instead of three joins.
+      * Edges are hash-partitioned on the join key (`dst`) once and
+        CACHED — `cache()` (InMemoryRelation) preserves
+        outputPartitioning, so no round re-shuffles the O(|E|) side;
+        `localCheckpoint` would NOT (its LogicalRDD scan loses the
+        partitioning — verified empirically, the groupBy above a
+        checkpointed repartition re-inserts an Exchange). Labels stay
+        per-round `localCheckpoint`ed: they are the self-referencing
+        relation whose plan would otherwise double every round (the
+        jump references hop twice), and they are O(|V|) — re-shuffling
+        them is the cheap part.
+      * The checkpoint is LAZY (`eager=False`) and the convergence agg
+        is the action that materializes it — one driver job per round,
+        not checkpoint-job + agg-job. The initial SUM is skipped: any
+        non-empty edge set strictly decreases SUM(label) in round 1
+        (the larger endpoint of any edge adopts the smaller id), so
+        comparing from round 2 is sound; an empty input converges at
+        round 2 on NULL == NULL."""
+    sc = pairs.sparkSession.sparkContext
+    both_dirs = F.array(
+        F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        F.struct(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")),
+        F.struct(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")),
+    )
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(F.explode(both_dirs).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint()
+        .repartition(sc.defaultParallelism, "dst")
+        .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
+    labels = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id"), F.col("src").alias("component")
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    prev_sum: object = ()  # sentinel: never equals a SQL sum (long or NULL)
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
+        hop = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        hop = labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left").select(
-            "doc_id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("doc_id"), "component")
         )
         # Pointer jump: component := component's own current component.
         # Label values are node ids of the same component (inductively:
         # they start as own ids and only adopt neighbors' label values),
-        # so the lookup stays within the component and only decreases.
+        # so the lookup stays within the component and only decreases;
+        # every label value is a node id and every node appears in hop
+        # (self-loops), so the inner join always matches.
         parent = hop.select(
             F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
         )
         new_labels = (
-            hop.join(parent, hop.component == parent.p_id, "left")
+            hop.join(parent, hop.component == parent.p_id)
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
-                ).alias("component"),
+                F.least(F.col("component"), F.col("p_comp")).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
@@ -118,8 +144,13 @@ def dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     near_pairs = minhash_lsh_pairs(docs, threshold=threshold).select("doc_a", "doc_b")
     comp = connected_components(exact_pairs.unionAll(near_pairs))
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
-    return comp.join(sizes, "component").select("doc_id", "component", "group_size")
+    # Group size via an unordered window over the same key: one
+    # exchange on `component`, vs groupBy+join-back = two (agg exchange
+    # + re-exchange of comp for the join). Same rows, same types.
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id", "component", F.count(F.lit(1)).over(w).alias("group_size")
+    )
 
 
 def _dup_groups_oracle(threshold: float = 0.5) -> str:

@@ -319,30 +319,52 @@ def pagerank_topk(
     out-degree relation is cached once and reused; no collect of
     anything O(N) (only COUNT for the teleport constant). Every node
     of this graph has deg >= 1, so there is no dangling mass.
+
+    Iteration shape (r13, measured 4.5-4.7x at sf0.01 and sf1):
+      * The doubled edge list is ONE explode over `edges`, not
+        `select ∪ select` — the union form evaluates the co-purchase
+        self-join pipeline once per branch.
+      * Because the graph is undirected and every node has deg >= 1,
+        every node has in-degree >= 1, so groupBy(dst) over the
+        contribution stream already covers EVERY node — the per-round
+        `nodes LEFT JOIN contrib` + coalesce(in_mass, 0) was a no-op
+        re-keying of the same rows and is gone; teleport is added
+        directly on the aggregated stream. One join + one agg per
+        iteration, and the rank relation stays hash-partitioned on the
+        node key coming out of each round's agg exchange.
+      * `out` is hash-partitioned on `src` before the cache so no
+        iteration re-shuffles the O(|E|) side (InMemoryRelation
+        preserves outputPartitioning; the degree join also zips on the
+        same exchange instead of shuffling twice).
     """
+    sc = edges.sparkSession.sparkContext
+    both_dirs = F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+    )
     directed = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        edges.select(F.explode(both_dirs).alias("e"))
+        .select("e.src", "e.dst")
+        .repartition(sc.defaultParallelism, "src")
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node")).cache()
-    n = nodes.count()
+    n = deg.count()
     if n == 0:
         # empty graph: zero nodes would divide the teleport constant
         # by zero; the correct fixpoint is the empty ranking (guard
         # sits BEFORE the out-degree cache so the empty path never
         # registers an unused persisted relation)
-        return nodes.select(
-            F.col("node").alias("part_node"),
+        return deg.select(
+            F.col("src").alias("part_node"),
             F.lit(0).cast("long").alias("rank_scaled"),
         )
     out = directed.join(deg, "src").cache()
     teleport = (15 * PR_SCALE // 100) // n
-    ranks = nodes.select(
-        "node", F.lit(PR_SCALE // n).cast("long").alias("rank")
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE // n).cast("long").alias("rank")
     )
     for _ in range(iters):
-        contrib = (
+        ranks = (
             out.join(ranks, out.src == ranks.node)
             .select(
                 F.col("dst"),
@@ -350,12 +372,10 @@ def pagerank_topk(
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (F.lit(teleport).cast("long") + F.coalesce(F.col("in_mass"), F.lit(0))).alias(
-                "rank"
-            ),
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(teleport).cast("long") + F.col("in_mass")).alias("rank"),
+            )
         )
     return (
         ranks.orderBy(F.desc("rank"), F.asc("node"))
