@@ -1,6 +1,13 @@
 """Dump `.explain("formatted")` for every headline query.
 
-Usage: python scripts/dump_plans.py OUTDIR SUFFIX [REPO_ROOT]
+Usage: python scripts/dump_plans.py OUTDIR SUFFIX [REPO_ROOT] [--queries a,b]
+
+--queries restricts/extends the dump to the named registry queries
+instead of the headline set (r13: the iterative operators under
+optimization are not headline queries; their final-plan dumps are the
+O(1)-lineage evidence). Note a driver-loop query EXECUTES its loop
+during construction; the dumped plan is the returned DataFrame's —
+checkpointed roots included — which is exactly the lineage claim.
 
 Writes OUTDIR/<query>_<SUFFIX>.txt for each bench headline query —
 the optimization-round evidence files (plans/r12/): a judge who cannot
@@ -27,19 +34,26 @@ from pathlib import Path
 
 
 def main() -> None:
-    outdir = Path(sys.argv[1])
-    suffix = sys.argv[2]
-    root = sys.argv[3] if len(sys.argv) > 3 else str(Path(__file__).resolve().parents[1])
+    argv = list(sys.argv[1:])
+    names: list[str] | None = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        names = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    outdir = Path(argv[0])
+    suffix = argv[1]
+    root = argv[2] if len(argv) > 2 else str(Path(__file__).resolve().parents[1])
     sys.path.insert(0, root)
 
-    from apd_map_reduce_spark.registry import headline_queries  # noqa: E402
+    from apd_map_reduce_spark.registry import QUERY_INDEX, headline_queries  # noqa: E402
     from apd_map_reduce_spark.session import get_spark  # noqa: E402
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     outdir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name=f"dump-plans-{suffix}")
     spark.sparkContext.setLogLevel("ERROR")
-    for q in headline_queries():
+    qs = [QUERY_INDEX[n] for n in names] if names else headline_queries()
+    for q in qs:
         df = q.fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
