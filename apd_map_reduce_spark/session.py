@@ -84,8 +84,39 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
         # 100 TB posture: bound scan task size so a partition fits in
-        # executor memory regardless of input file layout.
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # executor memory regardless of input file layout. Deployment
+        # dial (guide §6 suggests 512m-1g for big sequential scans on
+        # fast storage): SPARK_GRAFT_MAX_PARTITION_BYTES; the 128m
+        # default is the measured local keep (see OPTIMIZATION_r13.md,
+        # sf100 interleaved A/B).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
+        # Deployment dial for the filtered-dimension broadcast boundary
+        # (guide §3.1: size estimates are often wrong after filters —
+        # Spark's size-only estimator does not shrink a filtered dim,
+        # so a 27 MB-after-filter customer at sf100 plans as a 136 MB
+        # relation and misses the broadcast). Raising the threshold at
+        # deployment scale re-enables those broadcasts without a hint
+        # that would force-broadcast a fact-growing table at 100 TB;
+        # default = Spark's 10 MB (bench behavior unchanged).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTOBCAST", "10485760"),
+        )
+        # Whole-stage-codegen fallback width (measurement dial): the
+        # 72-min MinHash signature aggregate runs FASTER interpreted
+        # than codegen'd (0.755 s vs 1.027 s min-of-3 on the cached
+        # sf0.1 shingle relation — generated update code for 72 agg
+        # buffers JITs poorly); maxFields < 73 forces that one operator
+        # class onto the interpreted path. Default stays Spark's 100 —
+        # the suite-level interleaved A/B was not decisive (see
+        # OPTIMIZATION_r13.md).
+        .config(
+            "spark.sql.codegen.maxFields",
+            os.environ.get("SPARK_GRAFT_CODEGEN_MAXFIELDS", "100"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
