@@ -95,6 +95,20 @@ GROUP BY l_returnflag, l_linestatus
 # Scale: customer (small) is broadcast to orders; orders⋈lineitem is the
 # one big shuffle, keyed by orderkey (high-cardinality, even). Top-k is
 # a TakeOrderedAndProject — no global sort materialization.
+#
+# sf100 adjudication (r13, closing the r12 verdict's +59% flag): the
+# hint-removal "regression" (18.9 → 30.1 s) does NOT reproduce as plan
+# damage. With the filtered-customer broadcast verifiably restored via
+# SPARK_GRAFT_AUTOBCAST=64m (plan flips SMJ→BHJ on customer), the
+# interleaved fresh-JVM min ratio vs the default plan is 1.04 — the
+# join strategy moves q3's sf100 wall by ~nothing, while single-pass
+# walls swing 43-145 s under this box's load (bracketing both r12
+# numbers). Evidence: SCALING_r13_q3q7.json /
+# AB_r13_q3q7_sf100_autobcast.json. The hint-free shape stands;
+# deployments wanting the filtered-dim broadcast (Spark's size-only
+# estimator cannot see the c_mktsegment filter) raise the threshold
+# via the env dial instead of a hint that would force-broadcast a
+# fact-growing table at 100 TB.
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -1161,7 +1175,17 @@ WHERE l.l_quantity < 0.2 * a.avg_qty
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue flow between two nations by ship year.
     Exercises year extraction, symmetric nation-pair predicate, and a
-    6-relation join with broadcast dims."""
+    6-relation join with broadcast dims.
+
+    Third-decade wall (r13, closing the r12 verdict's plan-only gap):
+    sf100 measured min 35.98 s on the default plan (customer
+    sort-merge), 26.72 s with SPARK_GRAFT_AUTOBCAST=64m broadcasting
+    the pruned (custkey, nationkey) customer — q7 re-keys the l⋈o
+    stream on custkey and then filters on the nation pair, so the
+    broadcast saves a full re-shuffle of the fact stream and is worth
+    ~26% at that decade. Kept data-driven (no hint): at a true 100 TB
+    decade customer is GBs and must not broadcast. Evidence:
+    SCALING_r13_q3q7.json."""
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
