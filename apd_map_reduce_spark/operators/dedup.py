@@ -1683,8 +1683,15 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFr
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
         )
-        .distinct()
+        # Filter BEFORE the distinct (guide §2.3): hamming is a pure
+        # function of the pair, so duplicate collision rows agree on it
+        # and the reorder is result-identical — but the distinct's
+        # exchange then carries only the ≤ max_hamming pairs instead of
+        # the full banded-collision fan-out, which is the quadratic
+        # term (surfaced by the r13 sf0.1 tail ranking at 14.5 s; a
+        # chunk value shared by m docs makes m² collision rows).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from apd_map_reduce_spark.plans.layout import spread_by
 from apd_map_reduce_spark.queries.base import QueryDef
-from apd_map_reduce_spark.sources.tables import load_table
+from apd_map_reduce_spark.sources.tables import load_table, table_input_size
 
 
 def snapshot_diff(
@@ -83,7 +83,11 @@ SELECT doc_id, status FROM j WHERE status IS NOT NULL
 """
 
 
-def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    input_size: tuple[int, int] | None = None,
+) -> DataFrame:
     """Order-insensitive table fingerprint: one row of
     (n_rows, checksum) with checksum = BIT_XOR of a 60-bit md5 hash of
     the '|'-joined column renderings (NULL -> '\\N').
@@ -105,7 +109,15 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     # whole hash pass otherwise serializes into one task (measured at
     # sf0.1 lineitem, min/median-of-7: 1.565/1.943 s → 0.595/0.711 s).
     # No-op when the scan already has ≥ cores splits (plans/layout.py).
-    pruned = spread_by(df.select(*cols), cols)
+    # `input_size` = (bytes, n_files) of the scanned table lets the
+    # guard estimate splits from file metadata instead of paying a
+    # physical-planning probe per construction (r13, ADVICE #4).
+    pruned = spread_by(
+        df.select(*cols),
+        cols,
+        input_bytes=input_size[0] if input_size else None,
+        input_files=input_size[1] if input_size else 1,
+    )
     rendered = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 15), 16, 10
@@ -245,7 +257,11 @@ SNAPSHOT_QUERIES = [
     QueryDef("snapshot_diff_documents", _snapshot_diff_documents, SNAPSHOT_DIFF_ORACLE),
     QueryDef(
         "snapshot_table_checksum",
-        lambda s, d: table_checksum(load_table(s, d, "lineitem"), _LINEITEM_CK_COLS),
+        lambda s, d: table_checksum(
+            load_table(s, d, "lineitem"),
+            _LINEITEM_CK_COLS,
+            input_size=table_input_size(d, "lineitem"),
+        ),
         _checksum_oracle("lineitem", _LINEITEM_CK_COLS),
     ),
     QueryDef(

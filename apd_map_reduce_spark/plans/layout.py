@@ -62,7 +62,46 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
-def spread_by(df: DataFrame, cols: list[str], target: int | None = None) -> DataFrame:
+def _parse_bytes(v: str) -> int:
+    """Spark byte-conf string → bytes ('128m', '4194304b', '1g')."""
+    s = v.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    if s and s[-1] in mult:
+        return int(s[:-1]) * mult[s[-1]]
+    return int(s)
+
+
+def scan_splits_estimate(
+    spark, input_bytes: int, n_files: int, target: int
+) -> int:
+    """Driver-side estimate of the scan partition count Spark will plan
+    for a file source of `input_bytes` over `n_files`, mirroring
+    FilePartition.maxSplitBytes: each file is charged openCostInBytes,
+    the split size is min(maxPartitionBytes, max(openCost,
+    totalBytes/minPartitionNum)), and partitions ≈ total/splitSize.
+    Exactness is NOT required — the guard's consumers sit orders of
+    magnitude from the boundary (a one-row-group bench file estimates
+    ~4 splits vs target 32; an 11 GB sf100 directory ~90) — but the
+    formula keeps the estimate scale-correct instead of a constant."""
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum", str(target)))
+    total = input_bytes + open_cost * max(n_files, 1)
+    split = min(max_pb, max(open_cost, total // max(min_pn, 1)))
+    return max(1, -(-total // max(split, 1)))
+
+
+def spread_by(
+    df: DataFrame,
+    cols: list[str],
+    target: int | None = None,
+    input_bytes: int | None = None,
+    input_files: int = 1,
+) -> DataFrame:
     """Keyed twin of `spread` for CPU-bound PARTIAL AGGREGATION
     downstream of a low-split scan: hash-repartition on a deterministic
     synthetic key IFF the plan currently has fewer partitions than the
@@ -98,9 +137,29 @@ def spread_by(df: DataFrame, cols: list[str], target: int | None = None) -> Data
 
     At 100 TB the scan already yields ≥ cores splits and the guard
     skips the exchange entirely — safe to leave in production plans,
-    exactly like `spread`."""
-    sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    exactly like `spread`.
+
+    Guard probe (r13, ADVICE #4): when the caller passes
+    `input_bytes` (+`input_files`) — the scan's file metadata, e.g.
+    `sources.tables.table_input_size` — the split count is ESTIMATED
+    driver-side from the same formula Spark's file-partition packing
+    uses, and the `df.rdd.getNumPartitions()` probe (a full
+    physical-planning pass per query construction, paid even at scales
+    where the branch no-ops) is skipped entirely. Without it the probe
+    fallback keeps the old behavior for callers that only have a
+    DataFrame.
+
+    Key-cardinality caveat (r12 ADVICE #2): xxhash64 over `cols` can
+    only reach as many partitions as the key has distinct
+    combinations — pass columns whose combined cardinality is >> the
+    target (every current call site hashes high-cardinality
+    measure/key columns, not just the grouping key)."""
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if input_bytes is not None:
+        current = scan_splits_estimate(spark, input_bytes, input_files, target)
+    else:
+        current = df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target, F.xxhash64(*cols))
     return df

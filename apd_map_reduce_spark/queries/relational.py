@@ -25,7 +25,7 @@ from apd_map_reduce_spark.queries.base import (
     two_phase_rank,
 )
 from apd_map_reduce_spark.plans.layout import spread_by
-from apd_map_reduce_spark.sources.tables import load_table
+from apd_map_reduce_spark.sources.tables import load_table, table_input_size
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,12 +51,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread_by: the 4-way decimal partial agg is the CPU stage and its
     # parallelism is bounded by scan splits — on a low-split input it
     # serializes into one task (plans/layout.py; measured −25%
-    # min-of-7 at sf0.1). No-op when the scan has ≥ cores splits.
+    # min-of-7 at sf0.1). No-op when the scan has ≥ cores splits; the
+    # guard reads the scan's file metadata instead of paying a
+    # physical-planning probe per construction (r13, ADVICE #4).
+    size = table_input_size(sf_dir, "lineitem")
     filtered = spread_by(
         l.filter(
             F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp")
         ).select(*_Q1_COLS),
         _Q1_COLS,
+        input_bytes=size[0] if size else None,
+        input_files=size[1] if size else 1,
     )
     return (
         filtered
@@ -252,12 +257,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits ≥ cores; at sf100 l⋈o is a shuffled join anyway. The same
     # rewrite MEASURED NEGATIVE on q3 (+28%) and q5 (+39%), whose
     # per-row probe work is too cheap relative to the exchange — those
-    # keep the unspread shape.
+    # keep the unspread shape. Guard probe = scan file metadata, not a
+    # planning pass (r13, ADVICE #4).
+    size10 = table_input_size(sf_dir, "lineitem")
     l = spread_by(
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
         .select(*_Q10_L_COLS),
         _Q10_L_COLS,
+        input_bytes=size10[0] if size10 else None,
+        input_files=size10[1] if size10 else 1,
     )
     n = _t(spark, sf_dir, "nation")
     return (
@@ -651,7 +660,21 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy match: part-name pairs within edit
     distance 2, BLOCKED on the shared noun (last word) — the standard
     ER shape: blocking key join (no cross product) + expensive
-    similarity only within blocks."""
+    similarity only within blocks.
+
+    The in-block pair universe is quadratic in block size (the 5-color
+    part-name vocabulary gives ~92 blocks, so sf0.1's 20k parts make
+    ~2.2M pairs — surfaced by the r13 sf0.1 tail ranking at 29.8 s),
+    so the per-pair cost is everything. Two result-identical cuts
+    (guide §2.3 — make the cheap filter run before the expensive
+    expression):
+      * a length prefilter: edit distance ≥ |len(a) − len(b)|, so
+        pairs differing by > 2 chars can never qualify;
+      * THRESHOLD levenshtein (3-arg form, Spark 3.5+): banded DP with
+        early exit — O(threshold·len) per pair instead of O(len²) —
+        returning the exact distance when ≤ 2 and −1 (filtered)
+        otherwise, so surviving rows carry identical values.
+    Measured interleaved at sf0.1: see OPTIMIZATION_r13.md."""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.element_at(F.split("p_name", " "), -1).alias("block")
     )
@@ -665,8 +688,13 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["block"])
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.col("name_a") != F.col("name_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("edit_dist") <= 2)
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b", 2).cast("long")
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 2))
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
 

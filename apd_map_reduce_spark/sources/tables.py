@@ -65,3 +65,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def table_input_size(sf_dir: str, name: str) -> tuple[int, int] | None:
+    """(total_bytes, n_files) of a table's parquet input, from local
+    filesystem metadata — the cheap driver-side input to
+    ``plans.layout.spread_by``'s scan-split estimate (r12 ADVICE: the
+    ``df.rdd.getNumPartitions()`` probe forced a full physical-planning
+    pass per query CONSTRUCTION). Returns None when the path is not
+    statable locally (object store, missing file) — callers fall back
+    to the planning probe, so remote deployments lose nothing."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+            return (sum(sizes), len(sizes)) if sizes else None
+        return (os.path.getsize(path), 1)
+    except OSError:
+        return None

@@ -66,6 +66,7 @@ across ALL decades).
 
 from __future__ import annotations
 
+import shutil
 import sys
 from pathlib import Path
 
@@ -246,6 +247,16 @@ def gen_relational(sf01_dir: str, out: Path, mult: int = REL_MULT) -> dict[str, 
     counts = {}
     for t, tpl in grown.items():
         dest = out / (t + ".parquet")
+        # Remove any previous output ENTIRELY before writing (r12
+        # ADVICE, medium): a re-run with a smaller --rel-mult into the
+        # same OUT dir would otherwise leave stale part-NNNN files that
+        # silently inflate the fixture — and since Spark and the DuckDB
+        # oracle read the same glob, check_oracle cannot detect it. The
+        # dir→single-file transition needs the same cleanup.
+        if dest.is_dir():
+            shutil.rmtree(dest)
+        elif dest.exists():
+            dest.unlink()
         if mult <= CHUNK_COPIES:
             sql = tpl.format(
                 ok=ok_span, ck=ck_span, ev=ev_span,
@@ -253,8 +264,6 @@ def gen_relational(sf01_dir: str, out: Path, mult: int = REL_MULT) -> dict[str, 
             )
             con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET)")
         else:
-            if dest.exists() and dest.is_file():
-                dest.unlink()
             dest.mkdir(parents=True, exist_ok=True)
             for i, lo in enumerate(range(0, mult, CHUNK_COPIES)):
                 hi = min(lo + CHUNK_COPIES, mult) - 1
